@@ -1,0 +1,204 @@
+package graft.html
+
+/** Byte-stream HTML tokenizer: a single forward scan producing start/end
+  * tags, text, and skipping comments, doctypes, CDATA and raw-text element
+  * content (script/style). No DOM library — this is the performance-critical
+  * inner loop of the extraction stage (north rule: "byte-stream tokenizes
+  * HTML, builds a lightweight DOM").
+  *
+  * Decodes a small, fixed entity set (named subset + numeric) — enough for
+  * web-table content; unknown entities pass through literally.
+  */
+object HtmlTokenizer {
+
+  sealed trait Tok { def pos: Int }
+  final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int) extends Tok
+  final case class EndTag(name: String, pos: Int, endPos: Int) extends Tok
+  final case class TextTok(text: String, pos: Int) extends Tok
+
+  private val RawTextTags = Set("script", "style")
+
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "ldquo" -> "“", "rdquo" -> "”", "lsquo" -> "‘", "rsquo" -> "’",
+    "laquo" -> "«", "raquo" -> "»", "middot" -> "·",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×", "divide" -> "÷",
+    "eacute" -> "é", "egrave" -> "è", "aacute" -> "á", "agrave" -> "à",
+    "iacute" -> "í", "oacute" -> "ó", "uacute" -> "ú", "ntilde" -> "ñ",
+    "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß"
+  )
+
+  /** Case-insensitive indexOf for ASCII needles (avoids O(n) toLowerCase per call). */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    val limit = hay.length - n
+    var i = math.max(from, 0)
+    while (i <= limit) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        val a = Character.toLowerCase(hay.charAt(i + j))
+        if (a != needle.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode character references in a text slice. */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try {
+              val cp = Integer.parseInt(body.substring(2), 16)
+              sb.appendCodePoint(cp); i = semi + 1
+            } catch { case _: Exception => sb.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try {
+              val cp = Integer.parseInt(body.substring(1))
+              sb.appendCodePoint(cp); i = semi + 1
+            } catch { case _: Exception => sb.append(c); i += 1 }
+          } else NamedEntities.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Tokenize a decoded HTML string. Emits TextTok with entities decoded. */
+  def tokenize(html: String): Iterator[Tok] = new Iterator[Tok] {
+    private var i = 0
+    private var pendingRawEnd: String = null // inside <script>/<style>: skip to this end tag
+    private var nextTok: Tok = null
+
+    advance()
+
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Tok = {
+      val t = nextTok
+      advance()
+      t
+    }
+
+    private def advance(): Unit = {
+      nextTok = null
+      while (nextTok == null && i < html.length) {
+        if (pendingRawEnd != null) {
+          val close = indexOfIgnoreCase(html, pendingRawEnd, i)
+          val endName = pendingRawEnd.substring(2)
+          if (close < 0) { i = html.length; pendingRawEnd = null }
+          else {
+            val gt = html.indexOf('>', close)
+            i = if (gt < 0) html.length else gt + 1
+            nextTok = EndTag(endName, close, i)
+            pendingRawEnd = null
+          }
+        } else {
+          val lt = html.indexOf('<', i)
+          if (lt < 0) {
+            if (i < html.length) nextTok = TextTok(decodeEntities(html.substring(i)), i)
+            i = html.length
+          } else if (lt > i) {
+            nextTok = TextTok(decodeEntities(html.substring(i, lt)), i)
+            i = lt
+          } else {
+            // at a '<'
+            if (html.startsWith("<!--", i)) {
+              val close = html.indexOf("-->", i + 4)
+              i = if (close < 0) html.length else close + 3
+            } else if (html.startsWith("<![CDATA[", i)) {
+              val close = html.indexOf("]]>", i + 9)
+              i = if (close < 0) html.length else close + 3
+            } else if (i + 1 < html.length && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+              val gt = html.indexOf('>', i)
+              i = if (gt < 0) html.length else gt + 1
+            } else if (i + 1 < html.length && html.charAt(i + 1) == '/') {
+              val gt = html.indexOf('>', i)
+              if (gt < 0) { i = html.length }
+              else {
+                val name = html.substring(i + 2, gt).trim.toLowerCase
+                nextTok = EndTag(name, i, gt + 1)
+                i = gt + 1
+              }
+            } else {
+              parseStartTag(lt) match {
+                case null => i = html.length
+                case st =>
+                  nextTok = st
+                  i = st.endPos
+                  if (!st.selfClosing && RawTextTags.contains(st.name))
+                    pendingRawEnd = "</" + st.name
+              }
+            }
+          }
+        }
+      }
+    }
+
+    private def parseStartTag(start: Int): StartTag = {
+      var j = start + 1
+      val nameStart = j
+      while (j < html.length && isNameChar(html.charAt(j))) j += 1
+      if (j == nameStart) { // '<' followed by junk: treat as text '<'
+        // emit as literal text of one char
+        return StartTag("", Nil, selfClosing = true, start, start + 1)
+      }
+      val name = html.substring(nameStart, j).toLowerCase
+      val attrs = List.newBuilder[(String, String)]
+      var selfClosing = false
+      var done = false
+      while (!done && j < html.length) {
+        while (j < html.length && Character.isWhitespace(html.charAt(j))) j += 1
+        if (j >= html.length) done = true
+        else html.charAt(j) match {
+          case '>' => j += 1; done = true
+          case '/' =>
+            if (j + 1 < html.length && html.charAt(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+            else j += 1
+          case _ =>
+            val aStart = j
+            while (j < html.length && !Character.isWhitespace(html.charAt(j)) &&
+              html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+            val aName = html.substring(aStart, j).toLowerCase
+            while (j < html.length && Character.isWhitespace(html.charAt(j))) j += 1
+            var aVal = ""
+            if (j < html.length && html.charAt(j) == '=') {
+              j += 1
+              while (j < html.length && Character.isWhitespace(html.charAt(j))) j += 1
+              if (j < html.length && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                val q = html.charAt(j)
+                val vStart = j + 1
+                val vEnd = html.indexOf(q, vStart)
+                if (vEnd < 0) { aVal = html.substring(vStart); j = html.length }
+                else { aVal = html.substring(vStart, vEnd); j = vEnd + 1 }
+              } else {
+                val vStart = j
+                while (j < html.length && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '>') j += 1
+                aVal = html.substring(vStart, j)
+              }
+            }
+            if (aName.nonEmpty) attrs += ((aName, decodeEntities(aVal)))
+        }
+      }
+      StartTag(name, attrs.result(), selfClosing, start, j)
+    }
+
+    @inline private def isNameChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+  }
+}
