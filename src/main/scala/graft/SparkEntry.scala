@@ -1,13 +1,158 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pages.SyntheticPages
+import graft.pipeline.ExtractJob
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the correctness surface: one entry per implemented operator
+  * family; entries with a SQL-expressible equivalent also appear in
+  * `oracleSql` (DuckDB runs them on the same parquet inputs and compares).
+  * Extraction/merge queries run over the deterministic synthetic page corpus
+  * derived from `documents.parquet` (no SQL oracle possible — rows-only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full main-content + table extraction over the synthetic corpus.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = SyntheticPages.pages(spark, "/root/testdata/sf0.001")
+    ExtractJob.extract(spark, pages, ExtractJob.Config(buckets = 8))
+      .toDF()
+      .select(col("url"), col("lang"), col("main_text"), size(col("tables")).as("n_tables"),
+        size(col("spans")).as("n_spans"), col("status"), col("html_bytes"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+/** Query registry. Each Spark query aliases its output columns identically
+  * to the DuckDB oracle (driver compares by sorted column name + value hash).
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def nation(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
+  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  private def extracted(s: SparkSession, dir: String) =
+    ExtractJob.extract(s, SyntheticPages.pages(s, dir), ExtractJob.Config(buckets = 32))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- extraction pipeline (rows-only checks: no SQL-expressible oracle)
+    "extract_pages" -> ((s, dir) =>
+      extracted(s, dir).toDF().select(
+        col("url"), col("lang"), col("main_text"),
+        size(col("tables")).as("n_tables"), size(col("spans")).as("n_spans"),
+        col("status"), col("html_bytes"))),
+
+    // K4 csv-flatten semantics: explode tables -> fragments -> rows -> columns
+    "extract_tables_flat" -> ((s, dir) => {
+      val ex = extracted(s, dir).toDF()
+      ex.select(col("url"), posexplode(col("tables")).as(Seq("table_idx", "table")))
+        .select(col("url"), col("table_idx"),
+          posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
+        .select(col("url"), col("table_idx"), col("frag_idx"),
+          col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
+        .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
+          explode(col("row.columns")).as("c"))
+        .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
+          col("c.name").as("col_name"), col("c.value").as("value"))
+    }),
+
+    // ----- relational layer (oracle-checked)
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_base_price_cents"),
+          count(lit(1)).as("count_order"))),
+
+    "q_stats_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
+    "q_window_events" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).as("rn"))),
+
+    "q_exact_dedup_docs" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+        .select(col("doc_id"), col("dup_count"))),
+
+    // F15 --append resumability primitive: anti-join against completed set
+    "q_anti_join_resume" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val completed = orders(s, dir)
+        .filter(col("o_orderkey") % 7 < 3)
+        .select(col("o_orderkey"))
+      li.join(completed, li("l_orderkey") === completed("o_orderkey"), "left_anti")
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // broadcast dimension join: revenue cents per nation
+    "q_join_agg_nation" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val c = customer(s, dir)
+      val n = nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("revenue_cents"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_stats_by_source" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_window_events" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events""".stripMargin,
+    "q_exact_dedup_docs" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_anti_join_resume" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderkey % 7 < 3)""".stripMargin,
+    "q_join_agg_nation" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
+  )
 }

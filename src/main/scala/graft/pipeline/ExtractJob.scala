@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.html.{ExtractSettings, HtmlExtractor}
+
+/** The flagship extraction pipeline (north rule):
+  *
+  *   pages table → [resume anti-filter on completed buckets]
+  *               → deterministic url-hash bucketing (explicit repartition)
+  *               → ONE fused mapPartitions stage
+  *                   (tokenize → DOM-lite → boilerplate score → table grids)
+  *               → output parquet partitioned by bucket
+  *               → per-bucket lineage/metrics table (commit point)
+  *
+  * Scale design notes:
+  *  - The only wide edge is the explicit repartition on `bucket` —
+  *    `pmod(xxhash64(url), buckets)` is a pure column expression, so row
+  *    placement is deterministic and independent of input split layout
+  *    (AQE/skew-join never reshapes it; per-row output stays byte-stable).
+  *  - Extraction itself is narrow and codegen-adjacent: one typed
+  *    mapPartitions over Dataset[Page]; no intermediate materialization.
+  *  - Mega-page skew: url hashing spreads hosts uniformly; a single giant
+  *    page is row-atomic by nature, so the lever is bucket count — size
+  *    buckets so the p99 bucket fits an executor core's budget.
+  *  - Resume: lineage is written AFTER the output parquet commit; a killed
+  *    run leaves missing/uncommitted lineage rows and dynamic partition
+  *    overwrite re-extracts exactly those buckets (anti-join on lineage).
+  */
+object ExtractJob {
+
+  val ExtractorVersion = "graft-extract-0.1.0"
+
+  final case class Config(
+      buckets: Int = 32,
+      resume: Boolean = true,
+      emitJson: Boolean = true,
+      settings: ExtractSettings = ExtractSettings())
+
+  final case class RunStats(pagesProcessed: Long, bucketsSkipped: Int, bucketsPlanned: Int)
+
+  def bucketOf(urlCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(urlCol), lit(buckets.toLong)).cast("int")
+
+  /** Pure per-page extraction — the unit the fused stage applies. */
+  def extractPage(p: Page, bucket: Int, cfg: Config): ExtractedPage = {
+    try {
+      val ex = HtmlExtractor.extractBytes(p.html, cfg.settings)
+      ExtractedPage(
+        url = p.url,
+        bucket = bucket,
+        lang = p.lang,
+        main_text = ex.mainText,
+        tables = Convert.extractedTables(ex),
+        tables_json = if (cfg.emitJson) HtmlExtractor.toRawJson(fileNameOf(p.url), ex) else "",
+        spans = Convert.spans(ex),
+        citation = ex.citation,
+        status = ex.status,
+        html_bytes = p.html.length.toLong)
+    } catch {
+      case e: Exception =>
+        ExtractedPage(p.url, bucket, p.lang, "", Seq.empty, "", Seq.empty, None,
+          s"error:${e.getClass.getSimpleName}", p.html.length.toLong)
+    }
+  }
+
+  def fileNameOf(url: String): String = {
+    val i = url.lastIndexOf('/')
+    if (i >= 0 && i < url.length - 1) url.substring(i + 1) else url
+  }
+
+  /** Transform-only form (no sinks) — used by SparkEntry queries. */
+  def extract(spark: SparkSession, pagesDs: Dataset[Page], cfg: Config = Config()): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    val withBucket = pagesDs
+      .withColumn("bucket", bucketOf(col("url"), cfg.buckets))
+      .repartition(cfg.buckets, col("bucket"))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+    withBucket.mapPartitions { it =>
+      it.map { case (url, ts, html, text, lang, bucket) =>
+        extractPage(Page(url, ts, html, text, lang), bucket, cfg)
+      }
+    }
+  }
+
+  /** Full job with output + lineage + resume. Returns run stats. */
+  def run(spark: SparkSession, pagesDs: Dataset[Page], outDir: String, cfg: Config = Config()): RunStats = {
+    import spark.implicits._
+    val lineagePath = s"$outDir/_lineage"
+    val outputPath = s"$outDir/extracted"
+
+    val completed: Set[Int] =
+      if (cfg.resume && pathExists(spark, lineagePath))
+        spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
+      else Set.empty
+
+    val withBucket = pagesDs.withColumn("bucket", bucketOf(col("url"), cfg.buckets))
+    val pending =
+      if (completed.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(completed.toSeq: _*))
+
+    val processedAcc = spark.sparkContext.longAccumulator("graft.pagesProcessed")
+
+    val extracted = pending
+      .repartition(cfg.buckets, col("bucket"))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+      .mapPartitions { it =>
+        it.map { case (url, ts, html, text, lang, bucket) =>
+          processedAcc.add(1L)
+          extractPage(Page(url, ts, html, text, lang), bucket, cfg)
+        }
+      }
+
+    // dynamic partition overwrite: only the buckets present in this run are
+    // replaced; completed buckets' files are untouched
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    extracted.write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(outputPath)
+
+    // lineage from the committed output (cheap scan: no html column there)
+    val lineage = spark.read.parquet(outputPath)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("urls"),
+        count(lit(1)).as("rows_out"),
+        sum(size(col("tables"))).as("tables_out"),
+        sum(col("html_bytes")).as("html_bytes"),
+        min(col("url")).as("url_min"),
+        max(col("url")).as("url_max"))
+      .withColumn("extractor_version", lit(ExtractorVersion))
+      .as[LineageRow]
+
+    lineage.write.mode("overwrite").parquet(lineagePath)
+
+    RunStats(processedAcc.value, completed.size, cfg.buckets)
+  }
+
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/extracted")
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}

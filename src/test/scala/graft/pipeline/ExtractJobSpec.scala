@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+import graft.pages.SyntheticPages
+
+class ExtractJobSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("synthetic corpus is deterministic and covers the fixture variants") {
+    import spark.implicits._
+    val p1 = SyntheticPages.pages(spark, sfDir).collect().sortBy(_.url)
+    val p2 = SyntheticPages.pages(spark, sfDir).collect().sortBy(_.url)
+    assert(p1.length == 500)
+    assert(p1.map(_.url).sameElements(p2.map(_.url)))
+    assert(p1.zip(p2).forall { case (a, b) => java.util.Arrays.equals(a.html, b.html) })
+    val htmls = p1.map(p => new String(p.html, "UTF-8"))
+    assert(htmls.exists(_.contains("<th>Common name</th>")), "th tables present")
+    assert(htmls.exists(_.contains("<pre>")), "pre tables present")
+    assert(htmls.exists(_.contains("rowspan")), "rowspan tables present")
+    assert(htmls.exists(_.contains("data-page=\"2\"")), "multi-page docs present")
+    val sizes = htmls.map(_.length)
+    assert(sizes.max > 10 * sizes.min, "mega page (skew) present")
+  }
+
+  test("extraction: one row per url, all ok, tables found") {
+    import spark.implicits._
+    val out = ExtractJob.extract(spark, SyntheticPages.pages(spark, sfDir), ExtractJob.Config(buckets = 8))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.status == "ok"))
+    assert(rows.count(_.tables.nonEmpty) > 150)
+    assert(rows.forall(r => r.main_text.nonEmpty))
+    // boilerplate stripped everywhere
+    assert(rows.forall(r => !r.main_text.contains("Login portal")))
+    // table spans reported alongside tables
+    assert(rows.filter(_.tables.nonEmpty).forall(_.spans.nonEmpty))
+  }
+
+  test("per-url output is byte-identical across different bucket counts (partition independence)") {
+    import spark.implicits._
+    def snapshot(buckets: Int): Map[String, (String, String)] =
+      ExtractJob.extract(spark, SyntheticPages.pages(spark, sfDir), ExtractJob.Config(buckets = buckets))
+        .collect().map(r => r.url -> ((r.main_text, r.tables_json))).toMap
+    val a = snapshot(4)
+    val b = snapshot(16)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (url, payload) => assert(b(url) == payload, s"mismatch at $url") }
+  }
+
+  test("run + lineage + resume: killed run restarts only unfinished buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-extract").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+
+    val full = ExtractJob.run(spark, pages, dir, cfg)
+    assert(full.pagesProcessed == 500)
+    assert(full.bucketsSkipped == 0)
+    val fullOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text", "tables_json").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+
+    val lineage = spark.read.parquet(s"$dir/_lineage")
+    assert(lineage.count() == 8)
+    assert(lineage.select("extractor_version").distinct().collect().head.getString(0) == ExtractJob.ExtractorVersion)
+
+    // simulate a kill after 6 of 8 buckets committed: drop 2 lineage rows +
+    // their output partitions
+    val keep = lineage.filter(col("bucket") < 6)
+    keep.write.mode("overwrite").parquet(s"$dir/_lineage_tmp")
+    spark.read.parquet(s"$dir/_lineage_tmp").write.mode("overwrite").parquet(s"$dir/_lineage")
+    for (b <- 6 to 7) {
+      val p = new java.io.File(s"$dir/extracted/bucket=$b")
+      if (p.exists()) { p.listFiles().foreach(_.delete()); p.delete() }
+    }
+
+    val expectedPending = {
+      val pending = pages.withColumn("bucket", ExtractJob.bucketOf(col("url"), 8))
+        .filter(col("bucket") >= 6)
+      pending.count()
+    }
+
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 6)
+    assert(resumed.pagesProcessed == expectedPending, "only unfinished buckets re-extracted")
+
+    val resumedOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text", "tables_json").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(resumedOut.length == fullOut.length)
+    assert(resumedOut.sameElements(fullOut), "resumed output identical to uninterrupted run")
+  }
+
+  test("SparkEntry.entry smoke: rows > 0") {
+    assert(graft.SparkEntry.entry(spark).count() == 500)
+  }
+}
