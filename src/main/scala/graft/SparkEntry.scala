@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
+import graft.merge.{MergeConfig, MergeJob, RunDoc}
+import graft.stats.Stats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +50,18 @@ object Queries {
   private def extracted(s: SparkSession, dir: String) =
     ExtractJob.extract(s, SyntheticPages.pages(s, dir), ExtractJob.Config(buckets = 32))
 
+  /** Two deterministic "reader runs" from the extraction: the real run plus
+    * a case/whitespace-perturbed twin (exercises merge normalization +
+    * agreement end to end).
+    */
+  private def mergedRuns(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val runA = extracted(s, dir).map(e =>
+      RunDoc(e.url, "run-extract", 0, 0, e.citation, e.tables))
+    val runB = runA.map(r => MergeJob.perturbRun(r, "run-perturbed", 1))
+    MergeJob.mergeRuns(s, runA.union(runB), MergeConfig())
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- extraction pipeline (rows-only checks: no SQL-expressible oracle)
     "extract_pages" -> ((s, dir) =>
@@ -69,6 +83,28 @@ object Queries {
         .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
           col("c.name").as("col_name"), col("c.value").as("value"))
     }),
+
+    // N-run merge (J1-J4 + agreement G1/G4) over two deterministic runs
+    "merge_agreement" -> ((s, dir) => {
+      val merged = mergedRuns(s, dir).toDF()
+      merged.select(col("doc_id"), col("n_runs"),
+          posexplode(col("tables")).as(Seq("table_idx", "table")))
+        .select(col("doc_id"), col("n_runs"), col("table_idx"),
+          posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
+        .select(col("doc_id"), col("n_runs"), col("table_idx"), col("frag_idx"),
+          col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
+        .select(col("doc_id"), col("n_runs"), col("table_idx"), col("frag_idx"), col("page"),
+          col("row.row_").as("row_"),
+          col("row.agreement_level_").as("agreement_level_"),
+          size(col("row.sources_")).as("n_sources"))
+    }),
+
+    // G5-G7: per-doc stats (narrow map) + global roll-up (single agg)
+    "tablestats_per_doc" -> ((s, dir) =>
+      Stats.perDocStats(s, mergedRuns(s, dir)).toDF()),
+
+    "tablestats_global" -> ((s, dir) =>
+      Stats.globalStats(Stats.perDocStats(s, mergedRuns(s, dir)).toDF())),
 
     // ----- relational layer (oracle-checked)
     "q1_agg" -> ((s, dir) =>

@@ -1,0 +1,130 @@
+package graft.merge
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core._
+import graft.pipeline.{Convert, STable}
+
+/** One extraction run's output for one document (url). */
+final case class RunDoc(
+    doc_id: String,
+    run_uuid: String,
+    run_idx: Int,
+    page_offset: Int,
+    citation: Option[String],
+    tables: Seq[STable])
+
+/** Merged output row. */
+final case class MergedDoc(
+    doc_id: String,
+    n_runs: Int,
+    tables: Seq[STable],
+    merged_json: String)
+
+/** Serializable merge configuration (the Spark-shippable form of
+  * MergePipeline.Settings — transformer instances are rebuilt per task).
+  */
+final case class MergeConfig(
+    filterTitleRows: Boolean = true,
+    stripLeadingRowNumbers: Boolean = false,
+    normalizePunctuation: Boolean = false,
+    splitConjunctionColumns: Boolean = false,
+    fixReversedColumnValues: Boolean = false,
+    semanticLanguage: String = "en",
+    hints: List[String] = Nil,
+    hintsMode: Option[String] = None,
+    aliases: Vector[(String, String)] = Vector.empty,
+    useColumnNameSemantic: Boolean = false,
+    useJaccard: Boolean = false,
+    useColumnValueSemantic: Boolean = false,
+    threshold: Double = 0.5,
+    schemaStr: Option[String] = None,
+    removeHeaderRows: Boolean = false,
+    transformTablesFile: Option[String] = None,
+    distinctReaders: Option[Map[String, String]] = None,
+    columnAgreement: Boolean = false,
+    filterSchemaColumns: Boolean = false,
+    orderSchemaColumns: Boolean = false,
+    coerceSchemaColumnTypes: Boolean = false,
+    onlySemanticColumns: Boolean = false) {
+
+  def toSettings: MergePipeline.Settings =
+    MergePipeline.Settings.assemble(
+      fixReversedColumnValues = fixReversedColumnValues,
+      filterTitleRows = filterTitleRows,
+      stripLeadingRowNumbers = stripLeadingRowNumbers,
+      normalizePunctuation = normalizePunctuation,
+      splitConjunctionColumns = splitConjunctionColumns,
+      semanticLanguage = semanticLanguage,
+      hints = hints,
+      hintsMode = hintsMode,
+      aliases = aliases,
+      useColumnNameSemantic = useColumnNameSemantic,
+      useJaccard = useJaccard,
+      useColumnValueSemantic = useColumnValueSemantic,
+      threshold = threshold,
+      schema = schemaStr.map(ColumnSchema.parse),
+      removeHeaderRows = removeHeaderRows,
+      transformTablesFile = transformTablesFile,
+      agreement = distinctReaders.map(new DistinctReadersAgreement(_)).getOrElse(SimpleCountAgreement),
+      filterSchemaColumns = filterSchemaColumns,
+      orderSchemaColumns = orderSchemaColumns,
+      coerceSchemaColumnTypes = coerceSchemaColumnTypes,
+      onlySemanticColumns = onlySemanticColumns
+    ).copy(columnAgreement = columnAgreement)
+}
+
+/** Distributed N-run merge (SURVEY.md §3.2 Spark equivalent): the ONLY wide
+  * edge is the groupByKey shuffle on doc_id; each group (a handful of runs
+  * of one document, KBs) merges doc-locally in Scala. At 10^12-doc scale
+  * this is shuffle-bound, so RunDoc rows carry only extraction output
+  * (never html), and doc_id hashing distributes uniformly; skew would come
+  * only from a single doc with a pathological table count, bounded upstream
+  * by the extractor.
+  */
+object MergeJob {
+
+  def mergeRuns(spark: SparkSession, runs: Dataset[RunDoc], cfg: MergeConfig): Dataset[MergedDoc] = {
+    import spark.implicits._
+    runs.groupByKey(_.doc_id).flatMapGroups { (docId: String, it: Iterator[RunDoc]) =>
+      val settings = cfg.toSettings // rebuilt per group; cheap, task-local
+      val sorted = it.toList.sortBy(_.run_idx)
+      val docs = sorted.map { r =>
+        (Convert.sTablesToTableDoc(r.tables, r.citation, Some(r.run_uuid)), r.page_offset)
+      }
+      MergePipeline.mergeGroup(docs, settings).map { merged =>
+        MergedDoc(
+          doc_id = docId,
+          n_runs = sorted.size,
+          tables = Convert.tableDocToSTables(merged),
+          merged_json = TableDoc.toJsonString(merged))
+      }.iterator
+    }
+  }
+
+  /** Deterministic perturbation used to synthesize a "second reader" run
+    * from an extraction: case/whitespace jitter that the merge normalizers
+    * must fold back together (exercises same_row + agreement).
+    */
+  def perturbCell(s: String, salt: Long): String = {
+    if (s.isEmpty) s
+    else (math.floorMod(salt, 3L): @unchecked) match {
+      case 0 => s.toUpperCase(java.util.Locale.ROOT)
+      case 1 => "  " + s + " "
+      case 2 => s
+    }
+  }
+
+  def perturbRun(run: RunDoc, newUuid: String, runIdx: Int): RunDoc = {
+    val seed = run.doc_id.hashCode.toLong
+    val tables = run.tables.map { t =>
+      STable(t.table_fragments.map { f =>
+        f.copy(rows = f.rows.zipWithIndex.map { case (r, ri) =>
+          r.copy(columns = r.columns.zipWithIndex.map { case (c, ci) =>
+            c.copy(value = c.value.map(perturbCell(_, seed + ri * 7 + ci)))
+          })
+        })
+      })
+    }
+    run.copy(run_uuid = newUuid, run_idx = runIdx, tables = tables)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.merge.MergedDoc
+import graft.pipeline.Convert
+
+/** Per-document stats row — reference parity with PaperStats
+  * (/root/reference/src/tablestats/stats.py:8-33,138-193).
+  */
+final case class PaperStatsRow(
+    doc_id: String,
+    tables: Long,
+    fragments: Long,
+    rows: Long,
+    unique_rows: Long,
+    columns: Long,
+    rows_with_agreement: Long,
+    empty_rows: Long,
+    rows_in_shared_groups: Long,
+    rows_with_shared_values: Long)
+
+object Stats {
+
+  /** row_value_strings — stats.py:69-83: set of (col, stripped value) pairs. */
+  def rowValueStrings(row: RowData): Set[(String, String)] = {
+    val result = scala.collection.mutable.HashSet.empty[(String, String)]
+    row.columns.foreach { case (col, value) =>
+      value match {
+        case Cell.Null =>
+        case Cell.Str(s) =>
+          val n = Text.pyStrip(s)
+          if (n.nonEmpty) result += ((col, n))
+        case Cell.Multi(vs) =>
+          vs.foreach { v =>
+            val n = Text.pyStrip(v.value)
+            if (n.nonEmpty) result += ((col, n))
+          }
+      }
+    }
+    result.toSet
+  }
+
+  /** count_shared_values — stats.py:86-111 (doc-local; groups are tiny). */
+  def countSharedValues(tables: List[TableData]): (Long, Long) = {
+    var rowsInGroups = 0L
+    var rowsWithShared = 0L
+    tables.foreach { table =>
+      val allRows = table.fragments.flatMap(_.rows).filter(_.rowIdx.nonEmpty)
+      val groups = scala.collection.mutable.LinkedHashMap.empty[Int, List[RowData]]
+      allRows.foreach(r => groups(r.rowIdx.get) = groups.getOrElse(r.rowIdx.get, Nil) :+ r)
+      groups.values.foreach { group =>
+        if (group.size >= 2) {
+          rowsInGroups += group.size
+          val valueSets = group.map(rowValueStrings)
+          valueSets.indices.foreach { i =>
+            if (valueSets.indices.exists(j => j != i && (valueSets(i) & valueSets(j)).nonEmpty))
+              rowsWithShared += 1
+          }
+        }
+      }
+    }
+    (rowsInGroups, rowsWithShared)
+  }
+
+  /** compute_paper_stats — stats.py:138-193, doc-local. */
+  def paperStats(docId: String, doc: TableDoc): PaperStatsRow = {
+    val tables = doc.tables
+    val allFragments = tables.flatMap(_.fragments)
+    val rowsCount = allFragments.map(_.rows.size.toLong).sum
+    val uniqueRows = tables.map(_.fragments.flatMap(_.rows).flatMap(_.rowIdx).toSet.size.toLong).sum
+    val rowsWithAgreement = allFragments.map(_.rows.count(_.agreementLevel.getOrElse(0) > 1).toLong).sum
+    val emptyRows = allFragments.map(_.rows.count(_.isEmpty).toLong).sum
+    val uniqueColumns = allFragments.flatMap(_.rows.flatMap(_.columnNames)).toSet.size.toLong
+    val (inGroups, withShared) = countSharedValues(tables)
+    PaperStatsRow(docId, tables.size.toLong, allFragments.size.toLong, rowsCount,
+      uniqueRows, uniqueColumns, rowsWithAgreement, emptyRows, inGroups, withShared)
+  }
+
+  /** Per-doc stats as a narrow map over merged docs (no shuffle). */
+  def perDocStats(spark: SparkSession, merged: Dataset[MergedDoc]): Dataset[PaperStatsRow] = {
+    import spark.implicits._
+    merged.map { m =>
+      paperStats(m.doc_id, Convert.sTablesToTableDoc(m.tables, None, None))
+    }
+  }
+
+  /** Global roll-up (stats.py:114-135 + __main__.py:17-35) as a single
+    * DataFrame aggregation — the only wide edge, over tiny per-doc rows.
+    */
+  def globalStats(perDoc: DataFrame): DataFrame = {
+    perDoc.agg(
+      count(lit(1)).as("papers"),
+      sum("tables").as("tables"),
+      sum("fragments").as("fragments"),
+      sum("rows").as("rows"),
+      sum("unique_rows").as("unique_rows"),
+      sum("rows_with_agreement").as("rows_with_agreement"),
+      sum("rows_in_shared_groups").as("rows_in_shared_groups"),
+      sum("rows_with_shared_values").as("rows_with_shared_values"))
+      .withColumn("global_agreement_percentage",
+        when(col("rows") > 0, col("rows_with_agreement") / col("rows") * 100))
+      .withColumn("global_shared_values_percentage",
+        when(col("rows_in_shared_groups") > 0,
+          col("rows_with_shared_values") / col("rows_in_shared_groups") * 100))
+  }
+
+  /** G8 column-type inference (tablestats -C, __main__.py:55-87): union of
+    * semantic columns from each table's first row; first-seen parse type
+    * bool -> int -> float -> str.
+    */
+  def inferColumnType(value: String): String = {
+    val lowered = Text.pyLower(value)
+    if (Set("true", "false", "yes", "no", "on", "off", "0", "1").contains(lowered)) "bool"
+    else if (Text.pythonParseFloat(value).exists(d => !d.isNaN && !d.isInfinite && d == math.rint(d) && !value.contains('.') && !lowered.contains('e'))) "int"
+    else if (Text.pythonParseFloat(value).isDefined) "float"
+    else "str"
+  }
+}
