@@ -8,6 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -146,6 +147,60 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ----- training-data ops: text analysis
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), col("text"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
+
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      TextAnalysis.fingerprintColumns(docs(s, dir), col("text"))),
+
+    "q_doc_fingerprint_md5" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint"))),
+
+    // ----- training-data ops: dedup
+    "q_exact_dedup_md5" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), col("text"), col("doc_id"))),
+
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))
+        .select(col("a"), col("b"))),
+
+    "q_simhash_dedup" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.withPlantedNearDups(docs(s, dir)), col("text"))),
+
+    // ----- training-data ops: similarity search
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(s, emb.filter(col("vec_id") < 10), emb, 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    "q_cosine_near_dup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select(col("vec_id"), col("embedding")).union(
+        emb.filter(col("vec_id") % 25 === 0).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+      Similarity.cosineNearDupPairs(planted, threshold = 0.95)
+        .select(col("a"), col("b"))
+    }),
+
+    // ----- training-data ops: multimodal plumbing (stubbed codec)
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
+
     // broadcast dimension join: revenue cents per nation
     "q_join_agg_nation" -> ((s, dir) => {
       val o = orders(s, dir)
@@ -161,6 +216,46 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  (length(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |   AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
+        |   AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |   AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)
+        |  ) AS quality_ok
+        |FROM documents""".stripMargin,
+    "q_doc_fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+    "q_exact_dedup_md5" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS format,
+        |  octet_length(encode(text)) % 1024 AS width,
+        |  (octet_length(encode(text)) // 1024) % 1024 AS height,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 2
+        |       THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS frames
+        |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,

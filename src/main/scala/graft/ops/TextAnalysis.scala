@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting. Everything
+  * stays in codegen'd built-in functions (no UDFs on the hot path) so the
+  * scans remain whole-stage-codegen + column-pruned at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (BPE-ish regex splitting; matches the DuckDB
+    * oracle `length(regexp_split_to_array(trim(text),'\s+'))`).
+    */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Integer quality components (exact across engines — no float ratios). */
+  def qualityComponents(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      length(regexp_replace(text, "[a-zA-Z]", "")).as("n_non_alpha"),
+      length(regexp_replace(text, "[0-9]", "")).as("n_non_digit"),
+      length(regexp_replace(text, "[.,;:!?]", "")).as("n_non_punct"))
+
+  /** Quality score + label, derived from the integer components with fixed
+    * thresholds: mean word length in [3,12], punctuation below 10%, at
+    * least 5 tokens.
+    */
+  def qualityScore(df: DataFrame, text: Column): DataFrame = {
+    qualityComponents(df, text)
+      .withColumn("n_alpha", col("n_chars") - col("n_non_alpha"))
+      .withColumn("n_punct", col("n_chars") - col("n_non_punct"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 &&
+          col("n_chars") >= col("n_tokens") * 3 &&
+          col("n_chars") <= col("n_tokens") * 13 &&
+          col("n_punct") * 10 <= col("n_chars"))
+      .select("doc_id", "n_chars", "n_tokens", "n_alpha", "n_punct", "quality_ok")
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val Stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "for", "with", "that", "this"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans", "pour", "que"),
+    "de" -> Set("der", "die", "das", "und", "ist", "in", "den", "von", "mit", "für", "auf", "ein"),
+    "zh" -> Set("的", "是", "在", "了", "和", "有", "我", "他", "这", "中", "大", "上"))
+
+  /** Language ID over the token array, expressed with higher-order column
+    * functions (filter/size) — fully codegen-friendly, no UDF: pick the
+    * language with the highest stopword hit count (ties: lexicographic
+    * language order), "und" when nothing hits.
+    */
+  def langIdColumns(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val langs = Stopwords.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
+      val hits = size(filter(tokens, t => t.isInCollection(words)))
+      // priority makes hit-count ties resolve to the lexicographically
+      // smallest language under the descending struct sort
+      struct(hits.as("hits"), lit(langs.size - i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing-style rolling-hash fingerprint (k-gram hashes, window
+    * minima) — deterministic; implemented over the token array without
+    * leaving Catalyst: hash each 3-gram with xxhash64, take the minimum
+    * per document plus the count of distinct k-gram hashes.
+    */
+  def fingerprintColumns(df: DataFrame, text: Column): DataFrame = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val grams = Shingles.tokenNGrams(tokens, 3)
+    df.select(
+      col("doc_id"),
+      xxhash64(text).as("full_hash"),
+      array_min(transform(grams, g => xxhash64(g))).as("min_gram_hash"),
+      size(array_distinct(grams)).as("n_distinct_grams"))
+  }
+}
+
+/** Shared shingling helpers (pure Column expressions). */
+object Shingles {
+  /** Word n-grams of a token array as strings "w1 w2 w3". */
+  def tokenNGrams(tokens: Column, n: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)))
+    // for texts shorter than n tokens, fall back to the whole text as one gram
+    when(size(tokens) < n, array(array_join(tokens, " ")))
+      .otherwise(transform(idx, i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val planted = Dedup.withPlantedNearDups(docs)
+    val pairs = Dedup.minhashLshPairs(spark, planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000)).toSet
+    val found = expected.filter(pairs.contains)
+    // twins differ by 2 trailing tokens -> jaccard well above 0.5; LSH with
+    // 8 bands of 4 should catch essentially all
+    assert(found.size >= (expected.size * 9) / 10,
+      s"found ${found.size}/${expected.size} planted pairs")
+    // verification step keeps only true near-dups
+    val falsePairs = pairs -- expected
+    falsePairs.foreach { case (a, b) =>
+      assert(a < b, "pairs ordered")
+    }
+  }
+
+  test("simhash finds planted near-duplicates within hamming 3") {
+    val planted = Dedup.withPlantedNearDups(docs)
+    val pairs = Dedup.simhashPairs(planted, col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000)).toSet
+    val found = expected.filter(pairs.contains)
+    assert(found.size >= expected.size / 2, s"simhash found ${found.size}/${expected.size}")
+  }
+
+  test("exact dedup groups identical texts") {
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val out = Dedup.exactDedup(doubled, col("text"), col("doc_id")).collect()
+    assert(out.forall(_.getLong(2) == 2L)) // every text now has exactly 2 copies
+    assert(out.forall(_.getLong(1) < 5000L)) // representative is the original
+  }
+
+  test("IVF ANN achieves high recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, queries, emb, 10, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // 4/16 cells probed
+    assert(approx.size <= exact.size)
+  }
+
+  test("cosine near-dup finds planted scaled twins (scale-invariance of cosine)") {
+    val planted = emb.select(col("vec_id"), col("embedding")).union(
+      emb.filter(col("vec_id") % 25 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(planted, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    // identical-direction vectors share every hyperplane sign -> same bucket
+    assert(expected.forall(pairs.contains), s"missing ${expected -- pairs}")
+  }
+
+  test("language ID is deterministic and covers the stopword languages") {
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langIdColumns(col("text")).as("predicted")).collect()
+    assert(out.length == 500)
+    val langs = out.map(_.getString(1)).toSet
+    assert(langs.subsetOf(Set("en", "es", "fr", "de", "zh", "und")))
+    // synthetic corpus text is English-ish vocabulary with 'the'
+    assert(out.count(_.getString(1) == "en") > 250)
+  }
+
+  test("multimodal decode plumbing: batched, deterministic, full coverage") {
+    val meta = Multimodal.mediaMetaQuery(spark, sfDir).collect()
+    assert(meta.length == 500)
+    val byId = meta.map(r => r.getLong(0) -> r).toMap
+    val sample = docs.select("doc_id", "text").collect().take(20)
+    sample.foreach { r =>
+      val n = r.getString(1).getBytes("UTF-8").length
+      val m = byId(r.getLong(0))
+      assert(m.getLong(1) == n.toLong)
+      assert(m.getInt(3) == n % 1024)
+    }
+  }
+}
