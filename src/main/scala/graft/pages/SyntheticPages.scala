@@ -139,11 +139,39 @@ object SyntheticPages {
 
   def urlOf(docId: Long): String = f"https://synthetic.example.org/doc/$docId%08d"
 
+  /** Replicated corpus for throughput benchmarking: `factor` distinct pages
+    * per document row (varied content via a per-replica id offset), still
+    * fully deterministic. A narrow flatMap — rows never shuffle.
+    */
+  def pagesReplicated(spark: SparkSession, sfDir: String, factor: Int): Dataset[Page] = {
+    import spark.implicits._
+    // The source table is tiny but the render+extract downstream is
+    // CPU-bound: repartition the doc rows (KBs of text) so parallelism is
+    // set by cores, not by the parquet file's rowgroup layout.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, String, String)]
+    docs.flatMap { case (docId, text, lang) =>
+      (0 until factor).iterator.map { rep =>
+        val vid = docId + rep.toLong * 1000003L
+        val html = renderPage(vid, text, lang)
+        Page(
+          url = f"https://synthetic.example.org/doc/$docId%08d/rep/$rep%04d",
+          warc_ts = new java.sql.Timestamp(1735689600000L + vid * 1000L),
+          html = html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text = text,
+          lang = lang)
+      }
+    }
+  }
+
   /** The synthetic Iceberg-style pages table for a scale-factor dir. */
   def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, String, String)]
     docs.map { case (docId, text, lang) =>
       val html = renderPage(docId, text, lang)

@@ -34,7 +34,6 @@ object ExtractJob {
   final case class Config(
       buckets: Int = 32,
       resume: Boolean = true,
-      emitJson: Boolean = true,
       settings: ExtractSettings = ExtractSettings())
 
   final case class RunStats(pagesProcessed: Long, bucketsSkipped: Int, bucketsPlanned: Int)
@@ -51,15 +50,16 @@ object ExtractJob {
         bucket = bucket,
         lang = p.lang,
         main_text = ex.mainText,
-        tables = Convert.extractedTables(ex),
-        tables_json = if (cfg.emitJson) HtmlExtractor.toRawJson(fileNameOf(p.url), ex) else "",
+        n_tables = ex.tables.size,
+        n_table_rows = ex.tables.map(_.fragment.rows.size).sum,
+        tables_json = HtmlExtractor.toRawJson(fileNameOf(p.url), ex),
         spans = Convert.spans(ex),
         citation = ex.citation,
         status = ex.status,
         html_bytes = p.html.length.toLong)
     } catch {
       case e: Exception =>
-        ExtractedPage(p.url, bucket, p.lang, "", Seq.empty, "", Seq.empty, None,
+        ExtractedPage(p.url, bucket, p.lang, "", 0, 0, "", Seq.empty, None,
           s"error:${e.getClass.getSimpleName}", p.html.length.toLong)
     }
   }
@@ -69,12 +69,16 @@ object ExtractJob {
     if (i >= 0 && i < url.length - 1) url.substring(i + 1) else url
   }
 
-  /** Transform-only form (no sinks) — used by SparkEntry queries. */
+  /** Transform-only form (no sinks) — used by SparkEntry queries and the
+    * bench. Deliberately NARROW: the bucket id is computed as a column but
+    * the raw html payload is never shuffled (at 100 TB, repartitioning the
+    * page bytes is the single worst move available — extraction runs on the
+    * scan tasks and only the much smaller extraction output ever shuffles).
+    */
   def extract(spark: SparkSession, pagesDs: Dataset[Page], cfg: Config = Config()): Dataset[ExtractedPage] = {
     import spark.implicits._
     val withBucket = pagesDs
       .withColumn("bucket", bucketOf(col("url"), cfg.buckets))
-      .repartition(cfg.buckets, col("bucket"))
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
     withBucket.mapPartitions { it =>
       it.map { case (url, ts, html, text, lang, bucket) =>
@@ -101,8 +105,10 @@ object ExtractJob {
 
     val processedAcc = spark.sparkContext.longAccumulator("graft.pagesProcessed")
 
+    // Extraction stays on the scan tasks (narrow); ONLY the extracted output
+    // (no html) shuffles into its bucket before the partitioned write — one
+    // file per bucket, deterministic layout, cheap resume overwrites.
     val extracted = pending
-      .repartition(cfg.buckets, col("bucket"))
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
       .mapPartitions { it =>
         it.map { case (url, ts, html, text, lang, bucket) =>
@@ -110,6 +116,7 @@ object ExtractJob {
           extractPage(Page(url, ts, html, text, lang), bucket, cfg)
         }
       }
+      .repartition(cfg.buckets, col("bucket"))
 
     // dynamic partition overwrite: only the buckets present in this run are
     // replaced; completed buckets' files are untouched
@@ -125,7 +132,7 @@ object ExtractJob {
       .agg(
         count(lit(1)).as("urls"),
         count(lit(1)).as("rows_out"),
-        sum(size(col("tables"))).as("tables_out"),
+        sum(col("n_tables")).cast("long").as("tables_out"),
         sum(col("html_bytes")).as("html_bytes"),
         min(col("url")).as("url_min"),
         max(col("url")).as("url_max"))

@@ -34,18 +34,39 @@ final case class SpanRow(page: Int, start: Int, end: Int, kind: String)
 
 /** One extraction output row per url (north rule: extracted main text +
   * table spans, byte-identical per url).
+  *
+  * Deliberately FLAT: tables travel as the byte-stable raw JSON string, not
+  * as a nested struct column. Measured: the Catalyst-generated serializer
+  * for a 4-level nested Seq[STable] exceeds HotSpot's JIT-able method size,
+  * leaving tasks interpreted for 50-100x slowdowns; a string + scalars
+  * serializer compiles instantly. Relational consumers re-project the
+  * nested form on demand (from_json with `ExtractedPage.tablesJsonSchema`,
+  * or graft.core.TableDoc.fromJsonString for order-exact work).
   */
 final case class ExtractedPage(
     url: String,
     bucket: Int,
     lang: String,
     main_text: String,
-    tables: Seq[STable],
+    n_tables: Int,
+    n_table_rows: Int,
     tables_json: String,
     spans: Seq[SpanRow],
     citation: Option[String],
     status: String,
     html_bytes: Long)
+
+object ExtractedPage {
+  /** from_json schema for tables_json: rows as map<string,string> (cell
+    * values at extraction are always scalar strings; column ORDER is only
+    * guaranteed by the JSON/TableDoc path, not MapType).
+    */
+  val tablesJsonSchema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      "struct<tables: array<struct<table_fragments: array<struct<" +
+        "rows: array<map<string,string>>, page: int, title: string>>>>, " +
+        "citation: string, metadata: struct<filename: string>>")
+}
 
 /** Per-bucket lineage/metrics row (north rule: partition id, url range,
   * rows, bytes, extractor version) — the resume anti-join key source.

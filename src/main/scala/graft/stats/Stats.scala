@@ -82,7 +82,7 @@ object Stats {
   def perDocStats(spark: SparkSession, merged: Dataset[MergedDoc]): Dataset[PaperStatsRow] = {
     import spark.implicits._
     merged.map { m =>
-      paperStats(m.doc_id, Convert.sTablesToTableDoc(m.tables, None, None))
+      paperStats(m.doc_id, TableDoc.fromJsonString(m.merged_json))
     }
   }
 

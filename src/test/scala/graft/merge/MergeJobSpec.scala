@@ -14,7 +14,7 @@ class MergeJobSpec extends AnyFunSuite {
     import spark.implicits._
     val ex = ExtractJob.extract(spark, SyntheticPages.pages(spark, sfDir),
       ExtractJob.Config(buckets = nPartitionsHint))
-    val runA = ex.map(e => RunDoc(e.url, "run-extract", 0, 0, e.citation, e.tables))
+    val runA = ex.map(e => RunDoc(e.url, "run-extract", 0, 0, e.tables_json))
     val runB = runA.map(r => MergeJob.perturbRun(r, "run-perturbed", 1))
     runA.union(runB)
   }
@@ -23,13 +23,14 @@ class MergeJobSpec extends AnyFunSuite {
     val merged = MergeJob.mergeRuns(spark, runs(8), MergeConfig()).collect()
     assert(merged.nonEmpty)
     assert(merged.forall(_.n_runs == 2))
-    val rows = merged.flatMap(_.tables.flatMap(_.table_fragments.flatMap(_.rows)))
+    val rows = merged.flatMap(m =>
+      TableDoc.fromJsonString(m.merged_json).tables.flatMap(_.fragments.flatMap(_.rows)))
     assert(rows.nonEmpty)
     // the perturbation only changes case/whitespace, which normalization
     // folds: every row must have merged across both runs
-    val agree2 = rows.count(_.agreement_level_.contains(2))
+    val agree2 = rows.count(_.agreementLevel.contains(2))
     assert(agree2 == rows.length, s"expected all rows at agreement 2, got $agree2/${rows.length}")
-    assert(rows.forall(_.sources_.exists(_ == Seq("run-extract", "run-perturbed"))))
+    assert(rows.forall(_.sources.contains(List("run-extract", "run-perturbed"))))
   }
 
   test("merged output is deterministic across partitioning") {
@@ -46,8 +47,7 @@ class MergeJobSpec extends AnyFunSuite {
     merged.foreach { m =>
       val doc = TableDoc.fromJsonString(m.merged_json)
       assert(TableDoc.toJsonString(doc) == m.merged_json)
-      val viaStructs = Convert.sTablesToTableDoc(m.tables, None, None)
-      assert(viaStructs.tables == doc.tables)
+      assert(m.n_tables == doc.tables.size)
     }
   }
 }

@@ -31,12 +31,14 @@ class ExtractJobSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.length == 500)
     assert(rows.forall(_.status == "ok"))
-    assert(rows.count(_.tables.nonEmpty) > 150)
+    assert(rows.count(_.n_tables > 0) > 150)
     assert(rows.forall(r => r.main_text.nonEmpty))
     // boilerplate stripped everywhere
     assert(rows.forall(r => !r.main_text.contains("Login portal")))
     // table spans reported alongside tables
-    assert(rows.filter(_.tables.nonEmpty).forall(_.spans.nonEmpty))
+    assert(rows.filter(_.n_tables > 0).forall(_.spans.nonEmpty))
+    // tables_json is the byte-stable raw writer format
+    assert(rows.forall(r => r.tables_json.startsWith("{\"tables\": ")))
   }
 
   test("per-url output is byte-identical across different bucket counts (partition independence)") {
