@@ -99,6 +99,28 @@ object Queries {
     "tablestats_global" -> ((s, dir) =>
       Stats.globalStats(Stats.perDocStats(s, mergedRuns(s, dir)).toDF())),
 
+    // G8: column-type inference over merged tables
+    "tablestats_column_types" -> ((s, dir) =>
+      Stats.columnTypes(s, mergedRuns(s, dir))),
+
+    // S6/J6 hybrid: broadcast url->mapping sidecar drives ordinal reads
+    "extract_mapped" -> ((s, dir) => {
+      import graft.html.{ColumnMapping, TableMapping, TablesMapping}
+      val mapping = TablesMapping(
+        tables = List(TableMapping("Mapped species", "none", 1, 1,
+          List(ColumnMapping(1, "Scientific Name"), ColumnMapping(0, "Common")))),
+        citation = "Mapped Atlas (2031)")
+      // deterministic sidecar: every 6th doc gets the mapping
+      val urls = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 6 === 0)
+        .collect().map(r => SyntheticPages.urlOf(r.getLong(0)) -> mapping).toMap
+      ExtractJob.extractMapped(s, SyntheticPages.pages(s, dir), urls,
+        ExtractJob.Config(buckets = 32))
+        .toDF()
+        .filter(col("citation").isNotNull)
+        .select(col("url"), col("citation"), col("n_tables"), col("tables_json"))
+    }),
+
     // ----- relational layer (oracle-checked)
     "q1_agg" -> ((s, dir) =>
       lineitem(s, dir)
@@ -128,6 +150,12 @@ object Queries {
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
         .select(col("doc_id"), col("dup_count"))),
+
+    // F14 --paper filter: anchored regex match (re.fullmatch semantics)
+    "q_paper_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("source").rlike("^src1[0-9]$"))
+        .select(col("doc_id"), col("source"))),
 
     // F15 --append resumability primitive: anti-join against completed set
     "q_anti_join_resume" -> ((s, dir) => {
@@ -270,6 +298,8 @@ object Queries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderkey % 7 < 3)""".stripMargin,
+    "q_paper_filter" ->
+      "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')",
     "q_join_agg_nation" ->
       """SELECT n_name, count(*) AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents

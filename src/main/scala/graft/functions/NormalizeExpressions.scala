@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Text
+
+/** Native Catalyst expressions for the engine's normalizers — preferred
+  * over Scala UDFs (SURVEY.md §2.11): null-safe, codegen'd (doGenCode emits
+  * a direct static call, keeping the surrounding WholeStageCodegen span
+  * intact, no UDF closure serialization), registered for SQL use.
+  */
+abstract class GraftStringExpression extends UnaryExpression {
+  override def dataType: DataType = StringType
+  protected def fnName: String // fully-qualified static-call target
+
+  protected def applyFn(s: String): String
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(applyFn(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString($fnName($c.toString()))")
+}
+
+/** normalize_str (C1 — utils/str.py:4-17) as a native expression. */
+case class NormalizeStr(child: Expression) extends GraftStringExpression {
+  override def prettyName: String = "graft_normalize_str"
+  protected def fnName: String = "graft.functions.GraftFunctions.normalizeStr"
+  protected def applyFn(s: String): String = Text.normalizeStr(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** normalize_column_name (C2 — utils/column_names.py:16-30). */
+case class NormalizeColumnName(child: Expression) extends GraftStringExpression {
+  override def prettyName: String = "graft_normalize_column_name"
+  protected def fnName: String = "graft.functions.GraftFunctions.normalizeColumnName"
+  protected def applyFn(s: String): String = Text.normalizeColumnName(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** normalize_column_value (C3 — utils/column_values.py:4-11). */
+case class NormalizeColumnValue(child: Expression) extends GraftStringExpression {
+  override def prettyName: String = "graft_normalize_column_value"
+  protected def fnName: String = "graft.functions.GraftFunctions.normalizeColumnValue"
+  protected def applyFn(s: String): String = Text.normalizeColumnValue(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** unidecode-subset transliteration (C7). */
+case class Transliterate(child: Expression) extends GraftStringExpression {
+  override def prettyName: String = "graft_transliterate"
+  protected def fnName: String = "graft.functions.GraftFunctions.transliterate"
+  protected def applyFn(s: String): String = Text.transliterate(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** Static call targets for generated code (stable Java-visible names). */
+object GraftFunctions {
+  def normalizeStr(s: String): String = Text.normalizeStr(s)
+  def normalizeColumnName(s: String): String = Text.normalizeColumnName(s)
+  def normalizeColumnValue(s: String): String = Text.normalizeColumnValue(s)
+  def transliterate(s: String): String = Text.transliterate(s)
+
+  // Column-API forms (Spark 4: Column<->Expression via the sql-package shim)
+  import org.apache.spark.sql.graft.shim.{column, expression}
+  def normalize_str(c: Column): Column = column(NormalizeStr(expression(c)))
+  def normalize_column_name(c: Column): Column = column(NormalizeColumnName(expression(c)))
+  def normalize_column_value(c: Column): Column = column(NormalizeColumnValue(expression(c)))
+  def transliterate_col(c: Column): Column = column(Transliterate(expression(c)))
+
+  /** Register all engine functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_normalize_str", es => NormalizeStr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_normalize_column_name", es => NormalizeColumnName(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_normalize_column_value", es => NormalizeColumnValue(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_transliterate", es => Transliterate(es.head), "scala_udf")
+  }
+}

@@ -118,6 +118,27 @@ object MergeJob {
     }
   }
 
+  /** Curation guard (F17 — tablemerge __main__.py:64-69,215-220): docs whose
+    * EXISTING merged output carries human curations are never re-merged.
+    * Distributed form: left-anti join the runs against the curated-doc set.
+    */
+  def curatedDocs(spark: SparkSession, existingMerged: Dataset[MergedDoc]): Dataset[String] = {
+    import spark.implicits._
+    existingMerged
+      .filter(m => TableDoc.fromJsonString(m.merged_json).hasCurations)
+      .map(_.doc_id)
+  }
+
+  def mergeRunsSkippingCurated(
+      spark: SparkSession,
+      runs: Dataset[RunDoc],
+      curated: Dataset[String],
+      cfg: MergeConfig): Dataset[MergedDoc] = {
+    import spark.implicits._
+    val pending = runs.join(curated.toDF("doc_id"), Seq("doc_id"), "left_anti").as[RunDoc]
+    mergeRuns(spark, pending, cfg)
+  }
+
   /** Flattened merged rows (K4 explode semantics) as a narrow map over the
     * merged docs — the relational projection without a nested column.
     */

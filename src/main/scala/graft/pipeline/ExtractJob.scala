@@ -87,6 +87,33 @@ object ExtractJob {
     }
   }
 
+  /** Hybrid-mode extraction (J6/S6 — readers/hybrid.py:68-108): a SMALL
+    * url→mapping sidecar table drives which pages/columns are read. The
+    * mapping map is broadcast (classic broadcast hash join of a dimension
+    * into a narrow map stage — the 100 TB page table never shuffles).
+    */
+  def extractMapped(
+      spark: SparkSession,
+      pagesDs: Dataset[Page],
+      mappings: Map[String, graft.html.TablesMapping],
+      cfg: Config = Config()): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mappings)
+    val withBucket = pagesDs
+      .withColumn("bucket", bucketOf(col("url"), cfg.buckets))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+    withBucket.mapPartitions { it =>
+      val m = bc.value
+      it.map { case (url, ts, html, text, lang, bucket) =>
+        val pageCfg = m.get(url) match {
+          case Some(tm) => cfg.copy(settings = cfg.settings.copy(mapping = Some(tm)))
+          case None => cfg
+        }
+        extractPage(Page(url, ts, html, text, lang), bucket, pageCfg)
+      }
+    }
+  }
+
   /** Full job with output + lineage + resume. Returns run stats. */
   def run(spark: SparkSession, pagesDs: Dataset[Page], outDir: String, cfg: Config = Config()): RunStats = {
     import spark.implicits._

@@ -106,6 +106,24 @@ object Stats {
           col("rows_with_shared_values") / col("rows_in_shared_groups") * 100))
   }
 
+  /** G8 column-type inference query: semantic columns from each table's
+    * first row with their inferred type, rolled up per column name.
+    */
+  def columnTypes(spark: SparkSession, merged: Dataset[MergedDoc]): DataFrame = {
+    import spark.implicits._
+    merged.flatMap { m =>
+      val doc = TableDoc.fromJsonString(m.merged_json)
+      for {
+        table <- doc.tables
+        firstRow <- table.fragments.headOption.flatMap(_.rows.headOption).toList
+        (col, cell) <- firstRow.semanticColumns
+        value <- cell.strings.headOption.toList
+      } yield (col, inferColumnType(value))
+    }.toDF("column_name", "inferred_type")
+      .groupBy(col("column_name"), col("inferred_type"))
+      .agg(count(lit(1)).as("n_tables"))
+  }
+
   /** G8 column-type inference (tablestats -C, __main__.py:55-87): union of
     * semantic columns from each table's first row; first-seen parse type
     * bool -> int -> float -> str.

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.pipeline.{ExtractJob, ExtractedPage, Page}
+
+/** Structured-Streaming form of the extraction pipeline.
+  *
+  * The reference is strictly batch (SURVEY.md §2.10) and the north rule
+  * keeps the batch-resumable shape; this module exists because the engine
+  * targets continuous web-crawl ingestion at scale: the SAME pure
+  * per-page function (`ExtractJob.extractPage`) runs under a streaming
+  * source with checkpointed exactly-once file output — no logic forks
+  * between batch and streaming.
+  */
+object StreamingExtract {
+
+  /** Map a streaming Dataset[Page] through the fused extraction. */
+  def extractStream(spark: SparkSession, pages: Dataset[Page], buckets: Int): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    val cfg = ExtractJob.Config(buckets = buckets)
+    pages
+      .withColumn("bucket", ExtractJob.bucketOf(col("url"), buckets))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+      .mapPartitions(_.map { case (url, ts, html, text, lang, bucket) =>
+        ExtractJob.extractPage(Page(url, ts, html, text, lang), bucket, cfg)
+      })
+  }
+
+  /** File-source streaming job: watch `inputDir` for page parquet files,
+    * extract, write parquet with a checkpoint (restart-safe exactly-once).
+    */
+  def fileStreamWriter(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      buckets: Int = 32): DataStreamWriter[ExtractedPage] = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Page].schema)
+      .parquet(inputDir)
+      .as[Page]
+    extractStream(spark, pages, buckets)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outputDir)
+  }
+
+  /** Windowed per-language crawl-rate aggregation with a watermark over the
+    * page stream — the streaming-analytics shape (readStream → watermark →
+    * window agg).
+    */
+  def pageRateAgg(pages: Dataset[Page]): DataFrame = {
+    pages.toDF()
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), "5 minutes"), col("lang"))
+      .agg(count(lit(1)).as("pages"), sum(length(col("text"))).as("text_chars"))
+  }
+}

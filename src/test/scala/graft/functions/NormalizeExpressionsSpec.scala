@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+import graft.core.Text
+
+class NormalizeExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private val samples = Seq(
+    "  Hello   World ", "Estimated  Population (2)", "em—dash", "(cid:233)x",
+    "No Data", "Straße Señor", "café", "", "normal")
+
+  test("native expressions agree with the Scala functions (codegen path)") {
+    import spark.implicits._
+    val df = samples.toDF("s").repartition(2)
+    val out = df.select(
+      col("s"),
+      GraftFunctions.normalize_str(col("s")).as("ns"),
+      GraftFunctions.normalize_column_name(col("s")).as("ncn"),
+      GraftFunctions.normalize_column_value(col("s")).as("ncv"),
+      GraftFunctions.transliterate_col(col("s")).as("tl")
+    ).collect()
+    out.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getString(1) == Text.normalizeStr(s))
+      assert(r.getString(2) == Text.normalizeColumnName(s))
+      assert(r.getString(3) == Text.normalizeColumnValue(s))
+      assert(r.getString(4) == Text.transliterate(s))
+    }
+  }
+
+  test("null propagates (null-intolerant unary)") {
+    import spark.implicits._
+    val df = Seq(Some("x"), None).toDF("s")
+    val out = df.select(GraftFunctions.normalize_str(col("s"))).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+
+  test("SQL registration works") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT graft_normalize_column_name('Estimated  Population (2)') AS c").collect()
+    assert(r.head.getString(0) == "estimated_population_2")
+  }
+
+  test("expression stays inside WholeStageCodegen (no UDF fallback)") {
+    // needs a real scan: literal inputs get constant-folded to a
+    // LocalTableScan (which itself shows the expression is optimizer-native)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.normalize_str(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1)" prefixes mark WholeStageCodegen spans in the simple plan form
+    assert(plan.contains("*(1) Project [graft_normalize_str"), plan)
+    // column pruning reached the parquet scan
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+    df.count() // and it executes through the codegen path
+  }
+}

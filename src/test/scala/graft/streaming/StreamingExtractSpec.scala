@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.SharedSpark
+import graft.pages.SyntheticPages
+
+class StreamingExtractSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming extraction: file source -> checkpointed parquet sink, restart-safe") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    val ckDir = s"$base/ck"
+
+    val all = SyntheticPages.pages(spark, sfDir)
+    // first micro-batch: half the corpus
+    all.filter(_.url < "https://synthetic.example.org/doc/00000250").write.parquet(inDir)
+    StreamingExtract.fileStreamWriter(spark, inDir, outDir, ckDir, buckets = 4)
+      .start().awaitTermination()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == 250)
+
+    // second batch arrives; restart the query from the checkpoint
+    all.filter(_.url >= "https://synthetic.example.org/doc/00000250")
+      .write.mode("append").parquet(inDir)
+    StreamingExtract.fileStreamWriter(spark, inDir, outDir, ckDir, buckets = 4)
+      .start().awaitTermination()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 500, "second run processes ONLY the new files (no duplicates)")
+
+    // streaming output matches the batch pipeline byte-for-byte
+    val streamed = out.select("url", "main_text", "tables_json").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val batch = graft.pipeline.ExtractJob.extract(spark, all, graft.pipeline.ExtractJob.Config(buckets = 4))
+      .collect().map(r => (r.url, r.main_text, r.tables_json)).sortBy(_._1)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("windowed watermark aggregation over the page stream") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-agg").toString
+    SyntheticPages.pages(spark, sfDir).write.parquet(s"$base/in")
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[graft.pipeline.Page].schema)
+      .parquet(s"$base/in")
+      .as[graft.pipeline.Page]
+    val q = StreamingExtract.pageRateAgg(pages)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lang_rates")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows; check state instead
+    val progress = q.lastProgress
+    assert(progress.stateOperators.nonEmpty)
+    assert(progress.stateOperators.head.numRowsTotal > 0)
+  }
+}
