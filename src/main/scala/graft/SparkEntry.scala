@@ -221,6 +221,18 @@ object Queries {
     // ----- training-data ops: multimodal plumbing (stubbed codec)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
 
+    // deterministic skew salting: per-host stats where one synthetic host
+    // holds ~33% of rows; two-phase salted agg, result salt-invariant
+    "q_host_stats_salted" -> ((s, dir) => {
+      val withHost = docs(s, dir).withColumn("host",
+        when(col("doc_id") % 3 === 0, lit("mega.example.org"))
+          .otherwise(concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".example.org"))))
+      graft.ops.Salting.saltedKeyStats(
+        withHost, col("host"), col("doc_id"), col("n_chars"),
+        skewKeys = Seq("mega.example.org"), saltBuckets = 8)
+        .select(col("key").as("host"), col("n"), col("total").as("total_chars"))
+    }),
+
     // broadcast dimension join: revenue cents per nation
     "q_join_agg_nation" -> ((s, dir) => {
       val o = orders(s, dir)
@@ -300,6 +312,11 @@ object Queries {
         |  WHERE o_orderkey = l_orderkey AND o_orderkey % 7 < 3)""".stripMargin,
     "q_paper_filter" ->
       "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')",
+    "q_host_stats_salted" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'mega.example.org'
+        |            ELSE concat('h', CAST(doc_id % 20 AS VARCHAR), '.example.org') END AS host,
+        |  count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_join_agg_nation" ->
       """SELECT n_name, count(*) AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic skew salting (north rule: "AQE skew-join disabled in favor
+  * of deterministic salting so per-row output stays byte-stable").
+  *
+  * For key-skewed aggregations (mega-hosts dominating a per-host groupBy),
+  * the skewed keys are split across `saltBuckets` deterministic salt values
+  * (pure column expression over the row's own fields — never random, never
+  * runtime-adaptive), partially aggregated, then re-aggregated. Results are
+  * salt-invariant; only the shuffle distribution changes.
+  */
+object Salting {
+
+  /** Salt column: 0 for normal keys; hash-of-row-id mod saltBuckets for
+    * keys in the skew set — deterministic per row.
+    */
+  def saltColumn(keyCol: Column, rowIdCol: Column, skewKeys: Seq[String], saltBuckets: Int): Column =
+    when(keyCol.isin(skewKeys: _*), pmod(xxhash64(rowIdCol), lit(saltBuckets.toLong)).cast("int"))
+      .otherwise(lit(0))
+
+  /** Two-phase salted count+sum per key: partial agg on (key, salt), final
+    * agg on key. Equivalent to df.groupBy(key).agg(count, sum) but the
+    * skewed key's partials spread over saltBuckets reducers.
+    */
+  def saltedKeyStats(
+      df: DataFrame,
+      keyCol: Column,
+      rowIdCol: Column,
+      valueCol: Column,
+      skewKeys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    df.withColumn("__salt", saltColumn(keyCol, rowIdCol, skewKeys, saltBuckets))
+      .groupBy(keyCol.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("partial_n"), sum(valueCol).as("partial_sum"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial_n")).as("n"), sum(col("partial_sum")).as("total"))
+  }
+}
