@@ -46,23 +46,26 @@ object Bench {
     val nDocs = pages.count()
     val extractDf = graft.pipeline.ExtractJob.extract(spark, pages,
       graft.pipeline.ExtractJob.Config(buckets = cpus.toInt * 4))
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // adaptive warmup: run a small same-shaped corpus (codegen classes are
     // cache-keyed by source, so plan shape — not size — must match) until
-    // its runtime converges (HotSpot fully compiled), then once at full size
+    // the BEST observed time stops improving. The round-1 rule
+    // (`t > prev*0.85`) declared convergence on two consecutive SLOW runs,
+    // so under the JIT warm-up lottery (BENCH.md) the driver measured the
+    // un-warmed path, 14x below steady state. Now convergence requires 3
+    // consecutive runs that fail to improve on the best by >5%.
     val warmDf = graft.pipeline.ExtractJob.extract(spark,
       graft.pages.SyntheticPages.pagesReplicated(spark, sfDir, math.max(replicate / 8, 2)),
       graft.pipeline.ExtractJob.Config(buckets = cpus.toInt * 4))
-    var prev = Double.MaxValue
+    var best = Double.MaxValue
+    var sinceImproved = 0
     var w = 0
-    var converged = false
-    while (w < 12 && !converged) {
+    while (w < 15 && sinceImproved < 3) {
       val t = time(warmDf.count())
-      if (t > prev * 0.85) converged = true
-      prev = t
+      if (t < best * 0.95) { best = t; sinceImproved = 0 } else sinceImproved += 1
       w += 1
     }
-    System.err.println(f"[bench] warmup converged after $w runs (last $prev%.2fs)")
+    System.err.println(f"[bench] warmup converged after $w runs (best $best%.2fs)")
     extractDf.count()
     val times = (1 to reps).map(_ => time(extractDf.count()))
     System.err.println(s"[bench] extract rep times (exec order): ${times.map(t => f"$t%.2f").mkString(", ")}")
@@ -89,7 +92,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = tExtract + timings.map(_._2).sum
-    println(s"""{"metric":"documents/sec (extracted pages)","value":${f"$docsPerSec%.2f"},"unit":"docs/sec","total_sec":${f"$total%.2f"},"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total bench seconds (headline: extract_docs_per_sec in queries)","value":${f"$total%.2f"},"unit":"sec","docs_per_sec":${f"$docsPerSec%.2f"},"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's parser: the file copy survives any
+    // stdout wrapping (round 1's [info]-prefixed line parsed as null)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Exception => }
     spark.stop()
+    // final raw stdout line (outputStrategy := StdoutOutput keeps it unprefixed)
+    println(json)
   }
 }

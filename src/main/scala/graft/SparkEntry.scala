@@ -57,10 +57,15 @@ object Queries {
     */
   private def mergedRuns(s: SparkSession, dir: String) = {
     import s.implicits._
-    val runA = extracted(s, dir).map(e =>
-      RunDoc(e.url, "run-extract", 0, 0, e.tables_json))
-    val runB = runA.map(r => MergeJob.perturbRun(r, "run-perturbed", 1))
-    MergeJob.mergeRuns(s, runA.union(runB), MergeConfig())
+    // BOTH runs come out of ONE extraction pass (round 1 built runB as
+    // runA.map(perturb) then unioned — the DAG executed the extraction,
+    // JSON serialize and parse once per branch, doubling the dominant cost
+    // of every merge-family query).
+    val runs = extracted(s, dir).flatMap { e =>
+      val a = RunDoc(e.url, "run-extract", 0, 0, e.tables_json)
+      Seq(a, MergeJob.perturbRun(a, "run-perturbed", 1))
+    }
+    MergeJob.mergeRuns(s, runs, MergeConfig())
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -84,6 +89,10 @@ object Queries {
           col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
         .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
           explode(map_entries(col("row"))).as("c"))
+        // reference K4 flatten excludes the reserved meta fields
+        // (_SPECIAL_FIELDS — table2csv get_columns); without this the
+        // exploded map emits spurious null-valued meta cells
+        .filter(!col("c.key").isin("agreement_level_", "sources_", "row_"))
         .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
           col("c.key").as("col_name"), col("c.value").as("value"))
     }),
@@ -103,18 +112,21 @@ object Queries {
     "tablestats_column_types" -> ((s, dir) =>
       Stats.columnTypes(s, mergedRuns(s, dir))),
 
-    // S6/J6 hybrid: broadcast url->mapping sidecar drives ordinal reads
+    // S6/J6 hybrid: url->mapping sidecar DataFrame broadcast-joined into
+    // the page scan (no driver-side collect; the sidecar is built lazily
+    // from the same documents scan — deterministic: every 6th doc)
     "extract_mapped" -> ((s, dir) => {
       import graft.html.{ColumnMapping, TableMapping, TablesMapping}
       val mapping = TablesMapping(
         tables = List(TableMapping("Mapped species", "none", 1, 1,
           List(ColumnMapping(1, "Scientific Name"), ColumnMapping(0, "Common")))),
         citation = "Mapped Atlas (2031)")
-      // deterministic sidecar: every 6th doc gets the mapping
-      val urls = docs(s, dir).select(col("doc_id"))
+      val sidecar = docs(s, dir)
         .filter(col("doc_id") % 6 === 0)
-        .collect().map(r => SyntheticPages.urlOf(r.getLong(0)) -> mapping).toMap
-      ExtractJob.extractMapped(s, SyntheticPages.pages(s, dir), urls,
+        .select(
+          format_string("https://synthetic.example.org/doc/%08d", col("doc_id")).as("url"),
+          lit(TablesMapping.toJsonString(mapping)).as("mapping_json"))
+      ExtractJob.extractMappedJoin(s, SyntheticPages.pages(s, dir), sidecar,
         ExtractJob.Config(buckets = 32))
         .toDF()
         .filter(col("citation").isNotNull)
@@ -204,7 +216,7 @@ object Queries {
 
     "q_ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfTopK(s, emb.filter(col("vec_id") < 10), emb, 10, nCells = 16, nProbe = 4)
+      Similarity.ivfTopK(s, emb.filter(col("vec_id") < 10), emb, 10, centroidStride = 64, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -288,14 +300,17 @@ object Queries {
         |  CASE WHEN octet_length(encode(text)) % 3 = 2
         |       THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS frames
         |FROM documents""".stripMargin,
+    // NOTE: every aggregate sum() below is wrapped CAST(sum(...) AS BIGINT):
+    // DuckDB widens sum() to HUGEINT, which pandas renders as float64
+    // ("6.0" vs Spark's "6") and the driver's value hash never matches.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_stats_by_source" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source""".stripMargin,
     "q_window_events" ->
@@ -315,11 +330,11 @@ object Queries {
     "q_host_stats_salted" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'mega.example.org'
         |            ELSE concat('h', CAST(doc_id % 20 AS VARCHAR), '.example.org') END AS host,
-        |  count(*) AS n, sum(n_chars) AS total_chars
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "q_join_agg_nation" ->
       """SELECT n_name, count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -59,6 +59,13 @@ object JVal {
       sb.append('}')
   }
 
+  /** Quoted+escaped JSON string literal. */
+  def quote(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    writeString(sb, s)
+    sb.toString
+  }
+
   /** CPython json string escaping with ensure_ascii=False. */
   def writeString(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')

@@ -44,6 +44,20 @@ object TablesMapping {
       TablesMapping(tables, citation)
     case other => throw new IllegalArgumentException(s"bad mapping $other")
   }
+
+  /** Serialize for the sidecar table (inverse of fromJsonString; the
+    * reference's `.mapping.json` cache shape, mapping.py:7-54).
+    */
+  def toJsonString(m: TablesMapping): String = {
+    val tables = m.tables.map { t =>
+      val cms = t.columnMappings.map(cm =>
+        s"""{"from_column_number":${cm.fromColumnNumber},"to_column_name":${JVal.quote(cm.toColumnName)}}""")
+        .mkString("[", ",", "]")
+      s"""{"title":${JVal.quote(t.title)},"header_mode":${JVal.quote(t.headerMode)},""" +
+        s""""first_page":${t.firstPage},"last_page":${t.lastPage},"column_mappings":$cms}"""
+    }.mkString("[", ",", "]")
+    s"""{"tables":$tables,"citation":${JVal.quote(m.citation)}}"""
+  }
 }
 
 /** A detected table region before row-dict construction. */

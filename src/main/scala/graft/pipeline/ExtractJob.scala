@@ -114,6 +114,39 @@ object ExtractJob {
     }
   }
 
+  /** Hybrid-mode extraction at scale: the url→mapping sidecar arrives as a
+    * DataFrame `(url, mapping_json)` BROADCAST-joined into the page scan —
+    * no driver-side collect anywhere (round 1 collected ~1/6 of all doc ids
+    * into a Map, linear in corpus size). Mapping JSON parses once per
+    * distinct mapping per task (tiny cache), matching the reference's
+    * small `.mapping.json` sidecar contract (readers/hybrid.py:77-107).
+    */
+  def extractMappedJoin(
+      spark: SparkSession,
+      pagesDs: Dataset[Page],
+      sidecar: DataFrame,
+      cfg: Config = Config()): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    val withBucket = pagesDs.withColumn("bucket", bucketOf(col("url"), cfg.buckets))
+    val joined = withBucket
+      .join(broadcast(sidecar.select(col("url").as("m_url"), col("mapping_json"))),
+        col("url") === col("m_url"), "left")
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"),
+        col("bucket"), col("mapping_json"))
+      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int, Option[String])]
+    joined.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[String, graft.html.TablesMapping]
+      it.map { case (url, ts, html, text, lang, bucket, mj) =>
+        val pageCfg = mj match {
+          case Some(j) => cfg.copy(settings = cfg.settings.copy(mapping =
+            Some(cache.getOrElseUpdate(j, graft.html.TablesMapping.fromJsonString(j)))))
+          case None => cfg
+        }
+        extractPage(Page(url, ts, html, text, lang), bucket, pageCfg)
+      }
+    }
+  }
+
   /** Full job with output + lineage + resume. Returns run stats. */
   def run(spark: SparkSession, pagesDs: Dataset[Page], outDir: String, cfg: Config = Config()): RunStats = {
     import spark.implicits._
@@ -157,7 +190,7 @@ object ExtractJob {
     val lineage = spark.read.parquet(outputPath)
       .groupBy(col("bucket"))
       .agg(
-        count(lit(1)).as("urls"),
+        countDistinct(col("url")).as("urls"),
         count(lit(1)).as("rows_out"),
         sum(col("n_tables")).cast("long").as("tables_out"),
         sum(col("html_bytes")).as("html_bytes"),

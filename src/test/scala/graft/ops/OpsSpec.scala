@@ -55,7 +55,7 @@ class OpsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(spark, queries, emb, 10, nCells = 16, nProbe = 4)
+    val approx = Similarity.ivfTopK(spark, queries, emb, 10, centroidStride = 64, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall too low") // 4/16 cells probed
@@ -74,6 +74,34 @@ class OpsSpec extends AnyFunSuite {
       .map(id => (id, id + 100000)).toSet
     // identical-direction vectors share every hyperplane sign -> same bucket
     assert(expected.forall(pairs.contains), s"missing ${expected -- pairs}")
+  }
+
+  test("cosine near-dup caps degenerate buckets (planted identical-direction cluster)") {
+    import spark.implicits._
+    // 40 copies of ONE direction all land in the same hyperplane bucket;
+    // with maxBucket=8 the degenerate bucket must be dropped, not enumerated
+    val dim = 16
+    val base = Array.tabulate(dim)(i => 0.1f * (i + 1))
+    val cluster = (0 until 40).map(i => (i.toLong, base)).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(cluster, 0.9, maxBucket = 8).count()
+    assert(capped == 0L, s"degenerate bucket should be dropped, got $capped pairs")
+    val uncapped = Similarity.cosineNearDupPairs(cluster, 0.9, maxBucket = 64).count()
+    assert(uncapped == 40L * 39 / 2)
+  }
+
+  test("topK aggregator matches a window rank (score desc, id asc ties)") {
+    import spark.implicits._
+    // scores with deliberate ties to exercise the neighbor_id tiebreak
+    val scored = (0L until 2L).flatMap(q => (0L until 50L).map(n =>
+      (q, n, (n % 7).toDouble))).toDS()
+    val got = Similarity.topK(scored, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted
+    val want = (0L until 2L).flatMap { q =>
+      (0L until 50L).map(n => (n, (n % 7).toDouble))
+        .sortBy { case (n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1, n) }
+    }.sorted
+    assert(got.toSeq == want)
   }
 
   test("language ID is deterministic and covers the stopword languages") {

@@ -22,10 +22,11 @@ def canon(df: pd.DataFrame) -> list:
 
 
 def _s(v):
+    # Bit-faithful to the driver's hash: NO integral-float coercion — a
+    # DuckDB HUGEINT sum arriving as float64 must FAIL here like it fails
+    # there (the round-1 local gate masked exactly that bug).
     if v is None or v != v:
         return "<null>"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
     return str(v)
 
 
