@@ -68,34 +68,54 @@ object Queries {
     MergeJob.mergeRuns(s, runs, MergeConfig())
   }
 
+  /** Cell-level flatten of the extraction output (K4 csv-flatten semantics):
+    * nested form re-projected from the byte-stable JSON via from_json
+    * (schema-on-read), then exploded to cell level.
+    */
+  private def flatCells(s: SparkSession, dir: String): DataFrame = {
+    val ex = extracted(s, dir).toDF()
+      .select(col("url"),
+        from_json(col("tables_json"), graft.pipeline.ExtractedPage.tablesJsonSchema).as("doc"))
+    ex.select(col("url"), posexplode(col("doc.tables")).as(Seq("table_idx", "table")))
+      .select(col("url"), col("table_idx"),
+        posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
+      .select(col("url"), col("table_idx"), col("frag_idx"),
+        col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
+      .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
+        explode(map_entries(col("row"))).as("c"))
+      // reference K4 flatten excludes the reserved meta fields
+      // (_SPECIAL_FIELDS — table2csv get_columns); without this the
+      // exploded map emits spurious null-valued meta cells
+      .filter(!col("c.key").isin("agreement_level_", "sources_", "row_"))
+      .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
+        col("c.key").as("col_name"), col("c.value").as("value"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ----- extraction pipeline (rows-only checks: no SQL-expressible oracle)
+    // ----- extraction pipeline
+    // (extract_pages stays rows-only: main_text is content; the structural
+    // surface is oracle-checked via extract_invariants/extract_flat_counts)
     "extract_pages" -> ((s, dir) =>
       extracted(s, dir).toDF().select(
         col("url"), col("lang"), col("main_text"),
         col("n_tables"), size(col("spans")).as("n_spans"),
         col("status"), col("html_bytes"))),
 
-    // K4 csv-flatten semantics: nested form re-projected from the byte-stable
-    // JSON via from_json (schema-on-read), then exploded to cell level
-    "extract_tables_flat" -> ((s, dir) => {
-      val ex = extracted(s, dir).toDF()
-        .select(col("url"),
-          from_json(col("tables_json"), graft.pipeline.ExtractedPage.tablesJsonSchema).as("doc"))
-      ex.select(col("url"), posexplode(col("doc.tables")).as(Seq("table_idx", "table")))
-        .select(col("url"), col("table_idx"),
-          posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
-        .select(col("url"), col("table_idx"), col("frag_idx"),
-          col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
-        .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-          explode(map_entries(col("row"))).as("c"))
-        // reference K4 flatten excludes the reserved meta fields
-        // (_SPECIAL_FIELDS — table2csv get_columns); without this the
-        // exploded map emits spurious null-valued meta cells
-        .filter(!col("c.key").isin("agreement_level_", "sources_", "row_"))
-        .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-          col("c.key").as("col_name"), col("c.value").as("value"))
-    }),
+    // structural extraction invariants, fully recomputable in SQL from the
+    // deterministic generator's doc_id arithmetic (SyntheticPages.renderPage)
+    "extract_invariants" -> ((s, dir) =>
+      extracted(s, dir).toDF().select(
+        col("url"), col("lang"), col("n_tables"), col("n_table_rows"),
+        size(col("spans")).as("n_spans"), col("status"))),
+
+    "extract_tables_flat" -> ((s, dir) => flatCells(s, dir)),
+
+    // per-url cell/row counts of the flatten — SQL-recomputable
+    "extract_flat_counts" -> ((s, dir) =>
+      flatCells(s, dir)
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("table_idx"), col("row_idx")).as("n_rows"))),
 
     // N-run merge (J1-J4 + agreement G1/G4) over two deterministic runs
     "merge_agreement" -> ((s, dir) =>
@@ -111,6 +131,15 @@ object Queries {
     // G8: column-type inference over merged tables
     "tablestats_column_types" -> ((s, dir) =>
       Stats.columnTypes(s, mergedRuns(s, dir))),
+
+    // O3 --sort: per-doc stats ordered by table count desc (driver compare
+    // is order-insensitive; ordering itself is spec-gated in StatsExtrasSpec)
+    "tablestats_sorted" -> ((s, dir) =>
+      Stats.sortStats(Stats.perDocStats(s, mergedRuns(s, dir)).toDF(), "desc")),
+
+    // O3 --empty: documents whose extraction produced no tables
+    "tablestats_empty" -> ((s, dir) =>
+      Stats.emptyPapers(extracted(s, dir).toDF())),
 
     // S6/J6 hybrid: url->mapping sidecar DataFrame broadcast-joined into
     // the page scan (no driver-side collect; the sidecar is built lazily
@@ -130,7 +159,7 @@ object Queries {
         ExtractJob.Config(buckets = 32))
         .toDF()
         .filter(col("citation").isNotNull)
-        .select(col("url"), col("citation"), col("n_tables"), col("tables_json"))
+        .select(col("url"), col("citation"), col("n_tables"))
     }),
 
     // ----- relational layer (oracle-checked)
@@ -204,6 +233,23 @@ object Queries {
       Dedup.minhashLshPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))
         .select(col("a"), col("b"))),
 
+    // the exact-Jaccard verify stage, brute-forced over all pairs of the
+    // planted corpus — DuckDB recomputes the identical shingle sets, so the
+    // shingling + jaccard semantics get a full oracle (the LSH candidate
+    // stage above is probabilistic-recall and stays rows-only)
+    "q_minhash_verify_exact" -> ((s, dir) => {
+      val planted = Dedup.withPlantedNearDups(docs(s, dir))
+      val sh = Dedup.shingleRows(s, planted, 3)
+      val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+      val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+      sa.crossJoin(sb).filter(col("a") < col("b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"))
+    }),
+
     "q_simhash_dedup" -> ((s, dir) =>
       Dedup.simhashPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))),
 
@@ -259,7 +305,187 @@ object Queries {
     })
   )
 
+  /** Shared oracle CTE: the synthetic generator's structural arithmetic
+    * (SyntheticPages.renderPage is pure in doc_id for COUNTS):
+    *  - m3: markup table present (1 main table, 4+doc_id%4 rows, 4 cols)
+    *  - m6: main table is th-headed (semantic column names)
+    *  - m9: extra span-resolution table (2 rows, 3 cols) — implies m3
+    *  - m5: multi-page doc (continuation table, 3 rows, 2 cols, page 2);
+    *        all of the doc's tables land on page 2
+    *  - pre: whitespace-aligned <pre> table (4 rows incl. the unpromoted
+    *        header line, 3 cols) — COUNTED only when its page has no markup
+    *        tables (per-page first-success cascade), i.e. !m3 && !m5
+    */
+  private val docFlagsCte =
+    """f AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m3,
+      |    CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS m6,
+      |    CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS m9,
+      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS m5,
+      |    CASE WHEN doc_id % 7 = 1 AND doc_id % 3 <> 0 AND doc_id % 5 <> 4 THEN 1 ELSE 0 END AS pre,
+      |    4 + doc_id % 4 AS main_rows
+      |  FROM documents)""".stripMargin
+
+  /** Per-(doc, table) structural rows derived from the flags. */
+  private val docTablesCte =
+    """t AS (
+      |  SELECT doc_id, 0 AS table_idx, CASE WHEN m5 = 1 THEN 2 ELSE 1 END AS page,
+      |         main_rows AS nrows, 4 AS ncols FROM f WHERE m3 = 1
+      |  UNION ALL
+      |  SELECT doc_id, 1, CASE WHEN m5 = 1 THEN 2 ELSE 1 END, 2, 3 FROM f WHERE m9 = 1
+      |  UNION ALL
+      |  SELECT doc_id, m3 + m9, 2, 3, 2 FROM f WHERE m5 = 1
+      |  UNION ALL
+      |  SELECT doc_id, 0, 1, 4, 3 FROM f WHERE pre = 1)""".stripMargin
+
+  private val urlExpr = "printf('https://synthetic.example.org/doc/%08d', doc_id)"
+
+  /** Per-doc merged-stats CTE (shared by the tablestats oracles). */
+  private val perDocStatsCte =
+    """per AS (
+      |  SELECT doc_id,
+      |    m3 + m9 + m5 + pre AS n_tab,
+      |    m3 * main_rows + m9 * 2 + m5 * 3 + pre * 4 AS n_row,
+      |    m3 * 4 + m9 * 3 + pre * 3 + m5 * (CASE WHEN m6 = 1 THEN 0 ELSE 2 END) AS n_col
+      |  FROM f WHERE m3 + m9 + m5 + pre > 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "extract_invariants" ->
+      s"""WITH $docFlagsCte
+        |SELECT $urlExpr AS url, lang,
+        |  CAST(m3 + m9 + m5 + pre AS INT) AS n_tables,
+        |  CAST(m3 * main_rows + m9 * 2 + m5 * 3 + pre * 4 AS INT) AS n_table_rows,
+        |  CAST(m3 + m9 + m5 + pre AS INT) AS n_spans,
+        |  'ok' AS status
+        |FROM f""".stripMargin,
+    "extract_flat_counts" ->
+      s"""WITH $docFlagsCte, $docTablesCte
+        |SELECT $urlExpr AS url,
+        |  CAST(sum(nrows * ncols) AS BIGINT) AS n_cells,
+        |  CAST(sum(nrows) AS BIGINT) AS n_rows
+        |FROM t GROUP BY doc_id""".stripMargin,
+    "merge_agreement" ->
+      s"""WITH $docFlagsCte, $docTablesCte
+        |SELECT $urlExpr AS doc_id,
+        |  2 AS n_runs, CAST(table_idx AS INT) AS table_idx, 0 AS frag_idx,
+        |  CAST(page AS INT) AS page, CAST(u.i AS INT) AS row_idx,
+        |  CAST(u.i AS INT) AS row_, 2 AS agreement_level_, 2 AS n_sources
+        |FROM t, UNNEST(generate_series(0, nrows - 1)) u(i)""".stripMargin,
+    "tablestats_per_doc" ->
+      s"""WITH $docFlagsCte, $perDocStatsCte
+        |SELECT $urlExpr AS doc_id,
+        |  CAST(n_tab AS BIGINT) AS tables, CAST(n_tab AS BIGINT) AS fragments,
+        |  CAST(n_row AS BIGINT) AS "rows", CAST(n_row AS BIGINT) AS unique_rows,
+        |  CAST(n_col AS BIGINT) AS "columns", CAST(n_row AS BIGINT) AS rows_with_agreement,
+        |  CAST(0 AS BIGINT) AS empty_rows, CAST(0 AS BIGINT) AS rows_in_shared_groups,
+        |  CAST(0 AS BIGINT) AS rows_with_shared_values
+        |FROM per""".stripMargin,
+    "tablestats_sorted" ->
+      s"""WITH $docFlagsCte, $perDocStatsCte
+        |SELECT $urlExpr AS doc_id,
+        |  CAST(n_tab AS BIGINT) AS tables, CAST(n_tab AS BIGINT) AS fragments,
+        |  CAST(n_row AS BIGINT) AS "rows", CAST(n_row AS BIGINT) AS unique_rows,
+        |  CAST(n_col AS BIGINT) AS "columns", CAST(n_row AS BIGINT) AS rows_with_agreement,
+        |  CAST(0 AS BIGINT) AS empty_rows, CAST(0 AS BIGINT) AS rows_in_shared_groups,
+        |  CAST(0 AS BIGINT) AS rows_with_shared_values
+        |FROM per""".stripMargin,
+    "tablestats_empty" ->
+      s"""WITH $docFlagsCte
+        |SELECT $urlExpr AS url FROM f WHERE m3 + m9 + m5 + pre = 0""".stripMargin,
+    "tablestats_global" ->
+      s"""WITH $docFlagsCte, $perDocStatsCte
+        |SELECT count(*) AS papers,
+        |  CAST(sum(n_tab) AS BIGINT) AS tables, CAST(sum(n_tab) AS BIGINT) AS fragments,
+        |  CAST(sum(n_row) AS BIGINT) AS "rows", CAST(sum(n_row) AS BIGINT) AS unique_rows,
+        |  CAST(sum(n_row) AS BIGINT) AS rows_with_agreement,
+        |  CAST(0 AS BIGINT) AS rows_in_shared_groups,
+        |  CAST(0 AS BIGINT) AS rows_with_shared_values,
+        |  CASE WHEN sum(n_row) > 0 THEN CAST(sum(n_row) AS DOUBLE) / sum(n_row) * 100 END
+        |    AS global_agreement_percentage,
+        |  CAST(NULL AS DOUBLE) AS global_shared_values_percentage
+        |FROM per""".stripMargin,
+    "tablestats_column_types" ->
+      s"""WITH $docFlagsCte
+        |SELECT column_name, inferred_type, CAST(n AS BIGINT) AS n_tables FROM (
+        |  SELECT 'common_name' AS column_name, 'str' AS inferred_type, sum(m6 + m5) AS n FROM f
+        |  UNION ALL SELECT 'scientific_name', 'str', sum(m6 + m5) FROM f
+        |  UNION ALL SELECT 'status', 'str', sum(m6) FROM f
+        |  UNION ALL SELECT 'estimated_population', 'int', sum(m6) FROM f
+        |  UNION ALL SELECT 'region', 'str', sum(m9) FROM f
+        |  UNION ALL SELECT 'group', 'str', sum(m9) FROM f
+        |  UNION ALL SELECT 'count', 'int', sum(m9) FROM f)""".stripMargin,
+    "extract_mapped" ->
+      s"""SELECT $urlExpr AS url, 'Mapped Atlas (2031)' AS citation,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INT) AS n_tables
+        |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
+    "q_cosine_near_dup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+        |  FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM planted a, planted b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.emb, b.emb) >= 0.95""".stripMargin,
+    "q_minhash_verify_exact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in generate_series(1, len(toks) - 2)]) END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted))
+        |SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    // same ground-truth pair set as the exact verify: LSH recall over the
+    // planted corpus is exact (verified: both return identical 81 pairs at
+    // sf0.01) — a recall regression now fails the driver gate by design
+    "q_minhash_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in generate_series(1, len(toks) - 2)]) END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted))
+        |SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','in','den','von','mit','für','auf','ein'], x))) AS h_de,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','for','with','that','this'], x))) AS h_en,
+        |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con'], x))) AS h_es,
+        |  len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','est','dans','pour','que'], x))) AS h_fr,
+        |  len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','他','这','中','大','上'], x))) AS h_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |       WHEN h_fr >= h_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM h""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,

@@ -73,7 +73,10 @@ object SyntheticPages {
 
     if (docId % 3 == 0) {
       sb.append("<p>This is an interesting table:</p>")
-      val rows = tableRows(4 + (h % 4).toInt, 7)
+      // row COUNT is doc_id-derivable (4 + doc_id%4) so structural
+      // invariants (tables/rows/cells per url) are recomputable in pure SQL
+      // by the DuckDB oracle; cell CONTENT stays mix()-seeded for variety
+      val rows = tableRows(4 + (docId % 4).toInt, 7)
       if (docId % 6 == 0) {
         // th-headed bordered table
         sb.append("<table><tr><th>Common name</th><th>Scientific name</th><th>Status</th><th>Estimated population</th></tr>")

@@ -106,6 +106,26 @@ object Stats {
           col("rows_with_shared_values") / col("rows_in_shared_groups") * 100))
   }
 
+  /** O3 `--sort`: order per-doc stats by table count asc/desc
+    * (tablestats __main__.py:38-47). doc_id is the deterministic tiebreak —
+    * the reference's OrderedDict sort is stable on glob order, which has no
+    * distributed analog; a total order keeps output byte-stable.
+    */
+  def sortStats(perDoc: DataFrame, mode: String): DataFrame = mode match {
+    case "none" => perDoc
+    case "asc" => perDoc.orderBy(col("tables").asc, col("doc_id").asc)
+    case "desc" => perDoc.orderBy(col("tables").desc, col("doc_id").asc)
+    case other => throw new IllegalArgumentException(s"sort mode $other (none|asc|desc)")
+  }
+
+  /** O3 `--empty`: documents that produced no tables
+    * (tablestats __main__.py:174-184). Runs on the EXTRACTION output —
+    * merged resultsets never materialize 0-table docs (F18 empty-file
+    * guard), exactly like the reference never writes an all-empty merge.
+    */
+  def emptyPapers(extracted: DataFrame): DataFrame =
+    extracted.filter(col("n_tables") === 0).select(col("url"))
+
   /** G8 column-type inference query: semantic columns from each table's
     * first row with their inferred type, rolled up per column name.
     */
