@@ -81,8 +81,14 @@ object Bench {
       "q_join_agg_nation", "q_token_count", "q_quality_score", "q_lang_id",
       "q_exact_dedup_md5", "q_minhash_dedup", "q_simhash_dedup",
       "q_ann_topk", "q_ann_ivf", "q_multimodal_meta")
+    // each query shape is warmed once (codegen class generation + JIT
+    // compile of its row pipeline), then timed: steady-state numbers —
+    // the regime a long-running 100 TB job actually operates in. Without
+    // this, each query pays one-off compile costs and the measurements
+    // swing with JIT-lottery noise (round-1: identical plans 1s vs 15s).
     val timings = queryNames.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        fn(spark, sfDir).count()
         val t = time { fn(spark, sfDir).count() }
         name -> t
       }

@@ -41,12 +41,23 @@ object SparkEntry {
   */
 object Queries {
 
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
-  private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
-  private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
-  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
-  private def nation(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
-  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+  // memoized parquet reads: a fresh spark.read.parquet re-runs footer/schema
+  // planning (one small Spark job) per call; reusing the resolved DataFrame
+  // keeps query CONSTRUCTION lazy (PlanSpec gates 0 jobs) and drops repeated
+  // planning from Verify/Bench
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.getOrElseUpdate((System.identityHashCode(s), dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
+
+  private def docs(s: SparkSession, dir: String) = tbl(s, dir, "documents")
+  private def lineitem(s: SparkSession, dir: String) = tbl(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String) = tbl(s, dir, "orders")
+  private def customer(s: SparkSession, dir: String) = tbl(s, dir, "customer")
+  private def nation(s: SparkSession, dir: String) = tbl(s, dir, "nation")
+  private def events(s: SparkSession, dir: String) = tbl(s, dir, "events")
+  private def embeddings(s: SparkSession, dir: String) = tbl(s, dir, "embeddings")
 
   private def extracted(s: SparkSession, dir: String) =
     ExtractJob.extract(s, SyntheticPages.pages(s, dir), ExtractJob.Config(buckets = 32))
@@ -68,27 +79,33 @@ object Queries {
     MergeJob.mergeRuns(s, runs, MergeConfig())
   }
 
-  /** Cell-level flatten of the extraction output (K4 csv-flatten semantics):
-    * nested form re-projected from the byte-stable JSON via from_json
-    * (schema-on-read), then exploded to cell level.
+  /** Cell-level flatten of the extraction output (K4 csv-flatten semantics).
+    *
+    * Typed single-parse flatten: the relational form (from_json +
+    * 3×posexplode over the nested doc) is semantically identical but
+    * measured 46s at sf0.1 — CollapseProject inlines the from_json into
+    * every consuming expression of each Generate stage, re-parsing the doc
+    * JSON repeatedly (the same HOF/child re-evaluation trap as round 1's
+    * minhash signatures). One TableDoc.fromJsonString pass per doc emits
+    * the identical rows. Reserved meta fields are already modeled as
+    * RowData fields, matching reference K4's _SPECIAL_FIELDS exclusion.
     */
   private def flatCells(s: SparkSession, dir: String): DataFrame = {
-    val ex = extracted(s, dir).toDF()
-      .select(col("url"),
-        from_json(col("tables_json"), graft.pipeline.ExtractedPage.tablesJsonSchema).as("doc"))
-    ex.select(col("url"), posexplode(col("doc.tables")).as(Seq("table_idx", "table")))
-      .select(col("url"), col("table_idx"),
-        posexplode(col("table.table_fragments")).as(Seq("frag_idx", "frag")))
-      .select(col("url"), col("table_idx"), col("frag_idx"),
-        col("frag.page").as("page"), posexplode(col("frag.rows")).as(Seq("row_idx", "row")))
-      .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-        explode(map_entries(col("row"))).as("c"))
-      // reference K4 flatten excludes the reserved meta fields
-      // (_SPECIAL_FIELDS — table2csv get_columns); without this the
-      // exploded map emits spurious null-valued meta cells
-      .filter(!col("c.key").isin("agreement_level_", "sources_", "row_"))
-      .select(col("url"), col("table_idx"), col("frag_idx"), col("page"), col("row_idx"),
-        col("c.key").as("col_name"), col("c.value").as("value"))
+    import s.implicits._
+    import graft.core.{Cell, TableDoc}
+    extracted(s, dir).flatMap { e =>
+      val doc = TableDoc.fromJsonString(e.tables_json)
+      for {
+        (t, ti) <- doc.tables.zipWithIndex
+        (f, fi) <- t.fragments.zipWithIndex
+        (row, ri) <- f.rows.zipWithIndex
+        (name, cell) <- row.columns
+      } yield (e.url, ti, fi, f.page, ri, name, cell match {
+        case Cell.Null => null
+        case Cell.Str(v) => v
+        case m: Cell.Multi => Cell.toJson(m).render
+      })
+    }.toDF("url", "table_idx", "frag_idx", "page", "row_idx", "col_name", "value")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,19 +272,19 @@ object Queries {
 
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = embeddings(s, dir)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = embeddings(s, dir)
       Similarity.ivfTopK(s, emb.filter(col("vec_id") < 10), emb, 10, centroidStride = 64, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
     "q_cosine_near_dup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = embeddings(s, dir)
       val planted = emb.select(col("vec_id"), col("embedding")).union(
         emb.filter(col("vec_id") % 25 === 0).select(
           (col("vec_id") + 100000).as("vec_id"),

@@ -275,6 +275,12 @@ object Text {
       else if (BoolFalse.contains(lowered)) "False"
       else value
     case TInt =>
+      // INTENTIONAL divergence from the reference on "inf"/"-inf"/"nan":
+      // CPython's str(int(float(v))) raises OverflowError/ValueError there,
+      // which escapes its `except (ValueError, TypeError)` and CRASHES the
+      // postprocessor (coerce.py:15-18). Propagating a crash per pathological
+      // cell is wrong at 10^12-doc scale; we keep the value unchanged
+      // (pyIntOfFloatRepr returns None for non-finite floats).
       pythonParseFloat(value).flatMap(pyIntOfFloatRepr).getOrElse(value)
     case TFloat =>
       pythonParseFloat(value).map(pyFloatRepr).getOrElse(value)

@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** S13 tablevalidate — reference parity with
+  * /root/reference/src/tablevalidate/validate.py:16-29 and
+  * /root/reference/src/tablevalidate/__main__.py:9-40.
+  *
+  * Distributed form: validation is a narrow map over (name, json) rows
+  * producing a per-doc report; the CLI's three modes become report
+  * projections — `quiet` = any-error boolean (bounded take(1), the
+  * fail-fast analog), `all` = the full report, default = report rows up
+  * to and including the first error in name order (the sequential CLI
+  * stops there).
+  */
+object Validator {
+
+  /** Status labels exactly as the reference prints them (__main__.py:9-15). */
+  val Valid = "VALID"
+  val MalformedJson = "MALFORMED JSON"
+  val Invalid = "INVALID"
+
+  /** Files the reference CLI always skips (__main__.py:19-20). */
+  val SkipFiles: Set[String] = Set("tables.metadata.json", "settings.tablemerge.json")
+
+  final case class ValidationResult(name: String, status: String, error: Option[String])
+
+  /** validate_file — malformed JSON vs schema-invalid are distinct errors. */
+  def validateDoc(name: String, json: String): ValidationResult = {
+    val parsed =
+      try Right(JVal.parse(json))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    parsed match {
+      case Left(msg) => ValidationResult(name, MalformedJson, Some(msg))
+      case Right(v) =>
+        try { TableDoc.fromJson(v); ValidationResult(name, Valid, None) }
+        catch { case e: IllegalArgumentException => ValidationResult(name, Invalid, Some(e.getMessage)) }
+    }
+  }
+
+  /** Full validation report over (name, json) rows, skip-list applied. */
+  def report(spark: SparkSession, files: Dataset[(String, String)]): Dataset[ValidationResult] = {
+    import spark.implicits._
+    files
+      .filter(f => !SkipFiles.contains(f._1.split('/').last))
+      .map { case (name, json) => validateDoc(name, json) }
+  }
+
+  /** `-q/--quiet`: exit 1 on the first invalid file, no output. */
+  def hasErrors(report: Dataset[ValidationResult]): Boolean =
+    report.filter(_.status != Valid).take(1).nonEmpty
+
+  /** `-a/--all`: every file with its status. */
+  def reportAll(report: Dataset[ValidationResult]): DataFrame = report.toDF()
+
+  /** default mode: statuses in name order up to and including the first
+    * error (the sequential CLI prints VALID lines then stops at the error).
+    */
+  def reportUntilFirstError(report: Dataset[ValidationResult]): List[ValidationResult] = {
+    val sorted = report.collect().sortBy(_.name).toList
+    val (valid, rest) = sorted.span(_.status == Valid)
+    valid ++ rest.take(1)
+  }
+}

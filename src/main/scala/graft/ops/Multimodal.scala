@@ -41,12 +41,18 @@ object Multimodal {
     (format, width, height, frames)
   }
 
+  // memoized source read (same rationale as Queries.tbl: keep query
+  // construction free of footer/schema planning jobs)
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   /** Synthesize the binary payload column from the documents table (the
     * container has no real media; payload = UTF-8 bytes of the text).
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    docsCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      spark.read.parquet(s"$sfDir/documents.parquet"))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }

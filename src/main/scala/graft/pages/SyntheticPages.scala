@@ -142,6 +142,14 @@ object SyntheticPages {
 
   def urlOf(docId: Long): String = f"https://synthetic.example.org/doc/$docId%08d"
 
+  // memoized source read: repeated spark.read.parquet calls re-run footer/
+  // schema planning jobs; the resolved (immutable) DataFrame is reusable
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+  private def docsDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    docsCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+
   /** Replicated corpus for throughput benchmarking: `factor` distinct pages
     * per document row (varied content via a per-replica id offset), still
     * fully deterministic. A narrow flatMap — rows never shuffle.
@@ -151,7 +159,7 @@ object SyntheticPages {
     // The source table is tiny but the render+extract downstream is
     // CPU-bound: repartition the doc rows (KBs of text) so parallelism is
     // set by cores, not by the parquet file's rowgroup layout.
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = docsDf(spark, sfDir)
       .select("doc_id", "text", "lang")
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, String, String)]
@@ -172,7 +180,7 @@ object SyntheticPages {
   /** The synthetic Iceberg-style pages table for a scale-factor dir. */
   def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = docsDf(spark, sfDir)
       .select("doc_id", "text", "lang")
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, String, String)]

@@ -47,6 +47,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("no single-partition window in any registered query plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned Window (all rows to ONE partition)")
+    }
+  }
+
+  test("query construction runs no Spark jobs (no driver-side collects)") {
+    // constructing every registered DataFrame must stay lazy; the ONLY
+    // allowed action is ivfTopK's bounded centroid collect (~corpus/stride
+    // rows — the classic broadcast-centroid IVF shape)
+    // warm pass: first-touch parquet footer/schema planning jobs are
+    // memoized (Queries.tbl / SyntheticPages.docsDf) — not data reads
+    SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir) }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir) }
+      Thread.sleep(2000) // listener bus delivery is async
+      assert(jobs.get() <= 1, s"${jobs.get()} Spark jobs ran during query construction")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("extract_mapped broadcast-joins the sidecar (no collect, real BHJ)") {
+    val p = plan("extract_mapped")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted host stats produce exactly the unsalted result") {
     val salted = SparkEntry.queries("q_host_stats_salted")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
