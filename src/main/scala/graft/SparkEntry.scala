@@ -239,6 +239,11 @@ object Queries {
     "q_fingerprint_rolling" -> ((s, dir) =>
       TextAnalysis.fingerprintColumns(docs(s, dir), col("text"))),
 
+    // cross-engine-checkable fingerprint: polynomial rolling hash over
+    // codepoints (DuckDB recomputes it exactly via list_reduce)
+    "q_fingerprint_poly" -> ((s, dir) =>
+      TextAnalysis.polyFingerprintRows(s, docs(s, dir))),
+
     "q_doc_fingerprint_md5" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint"))),
 
@@ -519,6 +524,25 @@ object Queries {
         |FROM documents""".stripMargin,
     "q_doc_fingerprint_md5" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+    "q_fingerprint_poly" ->
+      """WITH tok AS (
+        |  SELECT doc_id, trim(lower(text)) AS t,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               for i in generate_series(1, len(toks) - 2)] END AS grams
+        |  FROM tok)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    [unicode(c) for c in regexp_split_to_array(t, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS poly_hash,
+        |  list_min([list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    [unicode(c) for c in regexp_split_to_array(gr, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) for gr in grams]) AS min_gram_poly
+        |FROM g""".stripMargin,
     "q_exact_dedup_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,

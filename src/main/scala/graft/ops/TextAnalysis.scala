@@ -81,6 +81,37 @@ object TextAnalysis {
       array_min(transform(grams, g => xxhash64(g))).as("min_gram_hash"),
       size(array_distinct(grams)).as("n_distinct_grams"))
   }
+
+  /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod
+    * 2^31-1, seed 7 — chosen because an independent engine can recompute
+    * it exactly (DuckDB: list_reduce over unicode codepoints), giving the
+    * fingerprint family a cross-engine oracle that xxhash64 cannot have.
+    */
+  def polyHash(s: String): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** (doc_id, poly_hash, min_gram_poly): whole-text polynomial hash +
+    * minimum over 3-token-gram hashes (winnowing minimum) — one typed pass
+    * per doc, no shuffle.
+    */
+  def polyFingerprintRows(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+        val grams = graft.ops.Dedup.shinglesOf(text, 3)
+        (id, polyHash(t), grams.iterator.map(polyHash).min)
+      }
+    }.toDF("doc_id", "poly_hash", "min_gram_poly")
+  }
 }
 
 /** Shared shingling helpers (pure Column expressions). */
