@@ -75,12 +75,16 @@ object Bench {
     // representative operator timings (count() forces full computation);
     // SPARK_GRAFT_BENCH_MODE=extract skips them (scaling-study mode)
     val extractOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")
+    // q_minhash_verify_exact is deliberately absent: the brute-force
+    // all-pairs verify is a correctness oracle, quadratic by design
     val queryNames = if (extractOnly) Seq.empty[String] else Seq(
-      "extract_pages", "extract_tables_flat", "merge_agreement",
-      "tablestats_global", "q1_agg", "q_window_events", "q_anti_join_resume",
-      "q_join_agg_nation", "q_token_count", "q_quality_score", "q_lang_id",
+      "extract_pages", "extract_tables_flat", "extract_flat_counts",
+      "extract_mapped", "merge_agreement",
+      "tablestats_global", "tablestats_per_doc", "q1_agg", "q_window_events",
+      "q_anti_join_resume", "q_join_agg_nation", "q_token_count",
+      "q_quality_score", "q_lang_id", "q_fingerprint_poly",
       "q_exact_dedup_md5", "q_minhash_dedup", "q_simhash_dedup",
-      "q_ann_topk", "q_ann_ivf", "q_multimodal_meta")
+      "q_cosine_near_dup", "q_ann_topk", "q_ann_ivf", "q_multimodal_meta")
     // each query shape is warmed once (codegen class generation + JIT
     // compile of its row pipeline), then timed: steady-state numbers —
     // the regime a long-running 100 TB job actually operates in. Without

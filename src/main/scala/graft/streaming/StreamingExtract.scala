@@ -62,4 +62,32 @@ object StreamingExtract {
       .groupBy(window(col("warc_ts"), "5 minutes"), col("lang"))
       .agg(count(lit(1)).as("pages"), sum(length(col("text"))).as("text_chars"))
   }
+
+  /** Streaming exact dedup with keyed state (flatMapGroupsWithState): the
+    * first document per content hash survives across the WHOLE stream —
+    * later micro-batches carrying an already-seen text emit nothing.
+    * Within one micro-batch the minimum doc id wins (deterministic under
+    * partition reordering). State per key is a single boolean; at crawl
+    * scale the keys are content hashes in a RocksDB state store, so state
+    * size is bytes-per-distinct-document, never the text itself.
+    */
+  def dedupStream(spark: SparkSession, docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey { case (_, text) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_._1))
+          }
+      }
+  }
 }

@@ -40,6 +40,29 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stateful streaming dedup: first-seen wins across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val q = StreamingExtract.dedupStream(spark, input.toDS())
+      .toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    // batch 1: in-batch duplicate (7 vs 3 — min id wins) + a unique
+    input.addData((7L, "alpha text"), (3L, "alpha text"), (10L, "beta text"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate must be suppressed by keyed state
+    input.addData((99L, "alpha text"), (11L, "gamma text"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((3L, "alpha text"), (10L, "beta text"), (11L, "gamma text")))
+  }
+
   test("windowed watermark aggregation over the page stream") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream-agg").toString
