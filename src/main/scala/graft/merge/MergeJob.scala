@@ -61,7 +61,9 @@ final case class MergeConfig(
     filterSchemaColumns: Boolean = false,
     orderSchemaColumns: Boolean = false,
     coerceSchemaColumnTypes: Boolean = false,
-    onlySemanticColumns: Boolean = false) {
+    onlySemanticColumns: Boolean = false,
+    dropEmptyColumns: Boolean = true,
+    dropEmptyTables: Boolean = true) {
 
   def toSettings: MergePipeline.Settings =
     MergePipeline.Settings.assemble(
@@ -85,7 +87,9 @@ final case class MergeConfig(
       filterSchemaColumns = filterSchemaColumns,
       orderSchemaColumns = orderSchemaColumns,
       coerceSchemaColumnTypes = coerceSchemaColumnTypes,
-      onlySemanticColumns = onlySemanticColumns
+      onlySemanticColumns = onlySemanticColumns,
+      dropEmptyColumns = dropEmptyColumns,
+      dropEmptyTables = dropEmptyTables
     ).copy(columnAgreement = columnAgreement)
 }
 

@@ -36,7 +36,9 @@ object MergeSettingsJson {
       "filter_schema_columns" -> b(c.filterSchemaColumns),
       "order_schema_columns" -> b(c.orderSchemaColumns),
       "coerce_schema_column_types" -> b(c.coerceSchemaColumnTypes),
-      "only_semantic_columns" -> b(c.onlySemanticColumns)
+      "only_semantic_columns" -> b(c.onlySemanticColumns),
+      "drop_empty_columns" -> b(c.dropEmptyColumns),
+      "drop_empty_tables" -> b(c.dropEmptyTables)
     )).render
   }
 
@@ -74,6 +76,8 @@ object MergeSettingsJson {
       filterSchemaColumns = bool("filter_schema_columns"),
       orderSchemaColumns = bool("order_schema_columns"),
       coerceSchemaColumnTypes = bool("coerce_schema_column_types"),
-      onlySemanticColumns = bool("only_semantic_columns"))
+      onlySemanticColumns = bool("only_semantic_columns"),
+      dropEmptyColumns = bool("drop_empty_columns", dflt = true),
+      dropEmptyTables = bool("drop_empty_tables", dflt = true))
   }
 }
