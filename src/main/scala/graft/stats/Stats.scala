@@ -135,7 +135,8 @@ object Stats {
       val doc = TableDoc.fromJsonString(m.merged_json)
       for {
         table <- doc.tables
-        firstRow <- table.fragments.headOption.flatMap(_.rows.headOption).toList
+        // first NON-empty fragment per table (__main__.py:78-80 continue+break)
+        firstRow <- table.fragments.find(_.rows.nonEmpty).flatMap(_.rows.headOption).toList
         (col, cell) <- firstRow.semanticColumns
         value <- cell.strings.headOption.toList
       } yield (col, inferColumnType(value))
@@ -144,15 +145,24 @@ object Stats {
       .agg(count(lit(1)).as("n_tables"))
   }
 
-  /** G8 column-type inference (tablestats -C, __main__.py:55-87): union of
-    * semantic columns from each table's first row; first-seen parse type
-    * bool -> int -> float -> str.
+  /** CPython int() literal acceptance: sign + digits with single
+    * underscores between digits (input pre-stripped).
+    */
+  private val PyIntRe = "^[+-]?[0-9](?:_?[0-9])*$".r
+  def pythonParseIntOk(s: String): Boolean = PyIntRe.matches(s)
+
+  /** G8 column-type inference — reference parity with tablestats
+    * __main__.py:55-70: bool iff the stripped lowercase value is exactly
+    * "true"/"false"; int iff CPython int() accepts it (so "0"/"1" are int,
+    * not bool, and "1e3"/"45.2" fall through to float); else float via
+    * CPython float(); else str.
     */
   def inferColumnType(value: String): String = {
-    val lowered = Text.pyLower(value)
-    if (Set("true", "false", "yes", "no", "on", "off", "0", "1").contains(lowered)) "bool"
-    else if (Text.pythonParseFloat(value).exists(d => !d.isNaN && !d.isInfinite && d == math.rint(d) && !value.contains('.') && !lowered.contains('e'))) "int"
-    else if (Text.pythonParseFloat(value).isDefined) "float"
+    val stripped = Text.pyStrip(value)
+    val lowered = Text.pyLower(stripped)
+    if (lowered == "true" || lowered == "false") "bool"
+    else if (pythonParseIntOk(stripped)) "int"
+    else if (Text.pythonParseFloat(stripped).isDefined) "float"
     else "str"
   }
 }

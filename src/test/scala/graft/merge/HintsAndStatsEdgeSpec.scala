@@ -161,6 +161,23 @@ class HintsAndStatsEdgeSpec extends AnyFunSuite {
       == Set(("genus", "Ammi")))
   }
 
+  test("infer_type parity: bool is true/false ONLY; int via CPython int(); float fallback (tablestats __main__.py:55-70)") {
+    assert(Stats.inferColumnType("true") == "bool")
+    assert(Stats.inferColumnType(" FALSE ") == "bool")
+    assert(Stats.inferColumnType("yes") == "str")   // NOT bool in the reference
+    assert(Stats.inferColumnType("0") == "int")     // NOT bool in the reference
+    assert(Stats.inferColumnType("1") == "int")
+    assert(Stats.inferColumnType(" 45 ") == "int")  // int() on the stripped value
+    assert(Stats.inferColumnType("+5") == "int")
+    assert(Stats.inferColumnType("1_0") == "int")   // CPython underscore literals
+    assert(Stats.inferColumnType("45.2") == "float")
+    assert(Stats.inferColumnType("1e3") == "float") // int() rejects, float() accepts
+    assert(Stats.inferColumnType("nan") == "float")
+    assert(Stats.inferColumnType("abc") == "str")
+    assert(Stats.inferColumnType("") == "str")
+    assert(Stats.inferColumnType("1_") == "str")    // trailing underscore is invalid
+  }
+
   test("count_shared_values: spec example / all shared / none shared") {
     def rw(v: String, idx: Int) = r("family" -> v).copy(rowIdx = Some(idx))
     def counts(rows: RowData*) =
