@@ -65,7 +65,8 @@ object Bench {
       if (t < best * 0.95) { best = t; sinceImproved = 0 } else sinceImproved += 1
       w += 1
     }
-    System.err.println(f"[bench] warmup converged after $w runs (best $best%.2fs)")
+    val warmState = if (sinceImproved >= 3) "converged" else "CAP REACHED (not converged)"
+    System.err.println(f"[bench] warmup $warmState after $w runs (best $best%.2fs)")
     extractDf.count()
     val times = (1 to reps).map(_ => time(extractDf.count()))
     System.err.println(s"[bench] extract rep times (exec order): ${times.map(t => f"$t%.2f").mkString(", ")}")

@@ -44,12 +44,9 @@ object Queries {
   // memoized parquet reads: a fresh spark.read.parquet re-runs footer/schema
   // planning (one small Spark job) per call; reusing the resolved DataFrame
   // keeps query CONSTRUCTION lazy (PlanSpec gates 0 jobs) and drops repeated
-  // planning from Verify/Bench
-  private val tableCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // planning from Verify/Bench. Weakly keyed per session (core.DfCache).
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.getOrElseUpdate((System.identityHashCode(s), dir, name),
-      s.read.parquet(s"$dir/$name.parquet"))
+    graft.core.DfCache.get(s, s"$dir/$name.parquet")(s.read.parquet(s"$dir/$name.parquet"))
 
   private def docs(s: SparkSession, dir: String) = tbl(s, dir, "documents")
   private def lineitem(s: SparkSession, dir: String) = tbl(s, dir, "lineitem")
@@ -463,7 +460,8 @@ object Queries {
         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
         |                             for i in generate_series(1, len(toks) - 2)]) END AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted))
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks FROM planted))
         |SELECT a.doc_id AS a, b.doc_id AS b
         |FROM sh a, sh b
         |WHERE a.doc_id < b.doc_id
@@ -471,7 +469,13 @@ object Queries {
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
     // same ground-truth pair set as the exact verify: LSH recall over the
     // planted corpus is exact (verified: both return identical 81 pairs at
-    // sf0.01) — a recall regression now fails the driver gate by design
+    // sf0.01, the driver's correctness scale) — a recall regression now
+    // fails the driver gate by design. NOTE: this equality is pinned to the
+    // sf0.01 corpus; LSH is probabilistic-recall in general, so at OTHER
+    // scale factors a marginal >=0.5-Jaccard coincidental pair may miss all
+    // 8 bands and the exact oracle would legitimately disagree — if the
+    // driver's verify scale ever changes, re-check or drop this oracle
+    // (q_minhash_verify_exact keeps the semantics covered either way).
     "q_minhash_dedup" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
@@ -484,7 +488,8 @@ object Queries {
         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
         |                             for i in generate_series(1, len(toks) - 2)]) END AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted))
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks FROM planted))
         |SELECT a.doc_id AS a, b.doc_id AS b
         |FROM sh a, sh b
         |WHERE a.doc_id < b.doc_id
@@ -527,7 +532,8 @@ object Queries {
     "q_fingerprint_poly" ->
       """WITH tok AS (
         |  SELECT doc_id, trim(lower(text)) AS t,
-        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, t,

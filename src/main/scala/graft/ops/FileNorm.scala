@@ -3,7 +3,6 @@ package graft.ops
 import graft.core.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** S12 filenorm — full reference semantics
   * (/root/reference/src/filenorm/__main__.py:28-66), distributed:
@@ -62,27 +61,51 @@ object FileNorm {
     val withKeep = files.join(keepers, "md5")
       .withColumn("keep", col("path") === col("keeper"))
 
-    // rename plan over keepers only: candidate = normalized base + ext.lower;
-    // collision index via a PARTITIONED window on the candidate name
+    // rename plan over keepers only: candidate = normalized base + ext.lower
+    // with _N collision suffixes. Numbering replays the reference's
+    // seen-set walk — but scoped to a NAME FAMILY (base with every trailing
+    // _<digits> group stripped, plus the extension): any two files that
+    // could ever contend for the same final name share a family, so the
+    // per-family walk is exactly as collision-free as the global one while
+    // staying distributed. (A plain per-candidate window would let a
+    // suffixed name collide with a kept file already bearing it.)
     val kept = withKeep.filter(col("keep"))
-      .select(col("md5"), col("path")).as[(String, String)]
-      .map { case (md5, path) =>
+      .select(col("path")).as[String]
+      .map { path =>
         val (base, ext) = splitExt(basename(path))
-        (md5, path, Text.normalizeColumnName(base), ext.toLowerCase(java.util.Locale.ROOT))
+        val newBase = Text.normalizeColumnName(base)
+        (path, newBase, ext.toLowerCase(java.util.Locale.ROOT), familyOf(newBase))
       }
-      .toDF("md5", "path", "new_base", "new_ext")
-    val w = Window.partitionBy(col("new_base"), col("new_ext")).orderBy(col("path"))
+      .toDF("path", "new_base", "new_ext", "family")
+      .as[(String, String, String, String)]
     val renamed = kept
-      .withColumn("idx", row_number().over(w) - 1)
-      .withColumn("candidate",
-        when(col("idx") === 0, concat(col("new_base"), col("new_ext")))
-          .otherwise(concat(col("new_base"), lit("_"), col("idx").cast("string"), col("new_ext"))))
-      .withColumn("orig_name", element_at(split(col("path"), "/"), -1))
-      .select(col("path").as("k_path"),
-        when(col("candidate") =!= col("orig_name"), col("candidate")).as("new_name"))
+      .groupByKey { case (_, _, ext, family) => (family, ext) }
+      .flatMapGroups { (_, it) =>
+        val files = it.toSeq.sortBy(_._1)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        files.iterator.map { case (path, base, ext, _) =>
+          var candidate = base + ext
+          var idx = 1
+          while (seen.contains(candidate)) {
+            candidate = s"${base}_$idx$ext"
+            idx += 1
+          }
+          seen += candidate
+          val newName = if (candidate != basename(path)) candidate else null
+          (path, newName)
+        }
+      }
+      .toDF("k_path", "new_name")
 
     withKeep
       .join(renamed, col("path") === col("k_path"), "left")
       .select(col("path"), col("md5"), col("keep"), col("new_name"))
   }
+
+  private val TrailingNumGroups = "(?:_[0-9]+)+$".r
+
+  /** Name family: base with every trailing `_<digits>` group removed —
+    * the equivalence class of names that can contend under `_N` suffixing.
+    */
+  def familyOf(base: String): String = TrailingNumGroups.replaceFirstIn(base, "")
 }

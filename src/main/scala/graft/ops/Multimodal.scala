@@ -41,17 +41,14 @@ object Multimodal {
     (format, width, height, frames)
   }
 
-  // memoized source read (same rationale as Queries.tbl: keep query
-  // construction free of footer/schema planning jobs)
-  private val docsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Synthesize the binary payload column from the documents table (the
     * container has no real media; payload = UTF-8 bytes of the text).
+    * Source read memoized per session (core.DfCache) so query construction
+    * stays free of footer/schema planning jobs.
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    docsCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    graft.core.DfCache.get(spark, s"$sfDir/documents.parquet")(
       spark.read.parquet(s"$sfDir/documents.parquet"))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]

@@ -146,6 +146,12 @@ object Similarity {
     * `maxBucket` caps bucket size — one degenerate hyperplane bucket (e.g.
     * near-zero embeddings) would otherwise enumerate O(n²) pairs with full
     * embeddings inside collect_list (same skew guard as Dedup.candidatesOf).
+    *
+    * SIZE THE PLANES TO THE CORPUS: expected bucket size is n / 2^planes,
+    * so the default 8 planes suits n ≲ 16k (bucket ≈ 64); at 1M vectors use
+    * ~14+ planes or the cap starts discarding whole healthy buckets (recall
+    * loss, not graceful degradation). The registered demo query runs at
+    * n ≤ 2.1k where buckets average single digits.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
       maxBucket: Int = 64): DataFrame = {

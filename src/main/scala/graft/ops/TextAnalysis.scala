@@ -102,11 +102,23 @@ object TextAnalysis {
     * minimum over 3-token-gram hashes (winnowing minimum) — one typed pass
     * per doc, no shuffle.
     */
+  /** SQL-trim analog: strips SPACES only (Java String.trim also strips
+    * control chars ≤ U+0020, which the DuckDB/Spark SQL trim() does not —
+    * a latent cross-engine mismatch on texts with leading newlines/tabs).
+    */
+  def sqlTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
   def polyFingerprintRows(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
-        val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+        val t = sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
         val grams = graft.ops.Dedup.shinglesOf(text, 3)
         (id, polyHash(t), grams.iterator.map(polyHash).min)
       }

@@ -143,11 +143,10 @@ object SyntheticPages {
   def urlOf(docId: Long): String = f"https://synthetic.example.org/doc/$docId%08d"
 
   // memoized source read: repeated spark.read.parquet calls re-run footer/
-  // schema planning jobs; the resolved (immutable) DataFrame is reusable
-  private val docsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+  // schema planning jobs; the resolved (immutable) DataFrame is reusable.
+  // Weakly keyed per session (core.DfCache).
   private def docsDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
-    docsCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    graft.core.DfCache.get(spark, s"$sfDir/documents.parquet")(
       spark.read.parquet(s"$sfDir/documents.parquet"))
 
   /** Replicated corpus for throughput benchmarking: `factor` distinct pages

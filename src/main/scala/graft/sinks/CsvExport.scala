@@ -48,21 +48,39 @@ object CsvExport {
     sb.toString
   }
 
-  /** `<paper>.tables.json` → `<paper>`; urls → last path segment. */
+  /** `<paper>.tables.json` → `<paper>`; urls → last path segment;
+    * path-hostile characters neutralized so the name is always writable.
+    */
   def baseNameOf(docId: String): String = {
-    val i = docId.lastIndexOf('/')
-    val raw = if (i >= 0 && i < docId.length - 1) docId.substring(i + 1) else docId
-    raw.replace(".tables.json", "")
+    val trimmed = docId.reverse.dropWhile(_ == '/').reverse
+    val i = trimmed.lastIndexOf('/')
+    val raw = if (i >= 0) trimmed.substring(i + 1) else trimmed
+    val safe = raw.replace(".tables.json", "")
+      .map(c => if (c == '/' || c == '\\' || c == '\u0000') '_' else c)
+    if (safe.isEmpty) "doc" else safe
   }
 
-  /** Write every (doc, table) CSV under outDir; returns files written. */
+  /** Write every (doc, table) CSV under outDir; returns files written.
+    * Distinct docs sharing a basename (same paper name under different run
+    * prefixes) get a short content-stable doc-id hash suffix instead of
+    * silently overwriting each other.
+    */
   def export(merged: Dataset[MergedDoc], outDir: String): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    val acc = merged.sparkSession.sparkContext.longAccumulator("graft.csvFiles")
+    val spark = merged.sparkSession
+    import spark.implicits._
+    // duplicate-basename set: tiny in practice (collisions are pathological)
+    val dupBases = merged.map(m => CsvExport.baseNameOf(m.doc_id))
+      .groupByKey(identity).count().filter(_._2 > 1).map(_._1).collect().toSet
+    val bcDups = spark.sparkContext.broadcast(dupBases)
+    val acc = spark.sparkContext.longAccumulator("graft.csvFiles")
     merged.foreachPartition { (it: Iterator[MergedDoc]) =>
       it.foreach { m =>
         val doc = TableDoc.fromJsonString(m.merged_json)
-        val base = baseNameOf(m.doc_id)
+        val base0 = baseNameOf(m.doc_id)
+        val base =
+          if (bcDups.value.contains(base0)) s"$base0-${md5Hex(m.doc_id).take(8)}"
+          else base0
         doc.tables.indices.foreach { i =>
           val path = java.nio.file.Paths.get(outDir, s"${base}_$i.csv")
           java.nio.file.Files.write(path,
@@ -73,4 +91,9 @@ object CsvExport {
     }
     acc.value
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }

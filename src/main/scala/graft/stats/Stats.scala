@@ -145,10 +145,11 @@ object Stats {
       .agg(count(lit(1)).as("n_tables"))
   }
 
-  /** CPython int() literal acceptance: sign + digits with single
-    * underscores between digits (input pre-stripped).
+  /** CPython int() literal acceptance: sign + decimal digits (any Unicode
+    * Nd digit, as int() accepts) with single underscores between digits
+    * (input pre-stripped).
     */
-  private val PyIntRe = "^[+-]?[0-9](?:_?[0-9])*$".r
+  private val PyIntRe = "^[+-]?\\p{Nd}(?:_?\\p{Nd})*$".r
   def pythonParseIntOk(s: String): Boolean = PyIntRe.matches(s)
 
   /** G8 column-type inference — reference parity with tablestats

@@ -21,6 +21,13 @@ class ValidatorSpec extends AnyFunSuite {
     assert(i.status == Validator.Invalid && i.error.nonEmpty)
   }
 
+  test("pathological inputs become MALFORMED JSON rows, never crashes") {
+    // truncated \\uXXXX escape indexes past end-of-string inside the parser
+    assert(Validator.validateDoc("t.tables.json", "{\"a\": \"\\u12").status == Validator.MalformedJson)
+    assert(Validator.validateDoc("e.tables.json", "").status == Validator.MalformedJson)
+    assert(Validator.validateDoc("b.tables.json", "\"\\").status == Validator.MalformedJson)
+  }
+
   test("report skips the metadata/settings files (reference skip list)") {
     import spark.implicits._
     val files = Seq(

@@ -176,6 +176,8 @@ class HintsAndStatsEdgeSpec extends AnyFunSuite {
     assert(Stats.inferColumnType("abc") == "str")
     assert(Stats.inferColumnType("") == "str")
     assert(Stats.inferColumnType("1_") == "str")    // trailing underscore is invalid
+    assert(Stats.inferColumnType("١٢٣") == "int")   // CPython int() takes any Nd digits
+    assert(Stats.inferColumnType("１２３") == "int") // fullwidth digits too
   }
 
   test("count_shared_values: spec example / all shared / none shared") {

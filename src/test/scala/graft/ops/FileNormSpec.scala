@@ -37,6 +37,33 @@ class FileNormSpec extends AnyFunSuite {
     assert(plan("/in/unique.pdf") == ((true, None)))
   }
 
+  test("suffixed candidates never collide with a kept file already holding that name") {
+    import spark.implicits._
+    // 'other_doc_1.pdf' (distinct content) already occupies the first
+    // suffix slot; the family-scoped seen-walk must step over it
+    val files = Seq(
+      ("/in/Other Doc.pdf", "m1"),
+      ("/in/Other-Doc.pdf", "m2"),
+      ("/in/other_doc_1.pdf", "m3")).toDF("path", "md5")
+    val plan = FileNorm.plan(spark, files).collect()
+      .map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    val finals = plan.map { case (path, newName) =>
+      newName.getOrElse(path.split('/').last)
+    }.toList
+    assert(finals.distinct.size == 3, s"final names must be unique: $finals")
+    assert(plan("/in/Other Doc.pdf") == Some("other_doc.pdf"))
+    assert(plan("/in/Other-Doc.pdf") == Some("other_doc_1.pdf"))
+    // the occupant found its slot taken and moved on
+    assert(plan("/in/other_doc_1.pdf") == Some("other_doc_1_1.pdf"))
+  }
+
+  test("family grouping strips every trailing _N group") {
+    assert(FileNorm.familyOf("other_doc") == "other_doc")
+    assert(FileNorm.familyOf("other_doc_1") == "other_doc")
+    assert(FileNorm.familyOf("a_1_2") == "a")
+    assert(FileNorm.familyOf("v2_report") == "v2_report") // interior digits stay
+  }
+
   test("extension lowercased in the rename target") {
     import spark.implicits._
     val files = Seq(("/in/Report.PDF", "m1")).toDF("path", "md5")

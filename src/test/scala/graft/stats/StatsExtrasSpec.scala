@@ -40,6 +40,19 @@ class StatsExtrasSpec extends AnyFunSuite {
     assert(read("paper1_1.csv") == "a,$page\n1,1\n")
   }
 
+  test("csv export: docs sharing a basename get hash-disambiguated, never overwritten") {
+    import spark.implicits._
+    val d = TableDoc(List(TableData(List(Fragment(List(row("a" -> "1")), 1)))))
+    val merged = Seq(
+      MergedDoc("runA/paper.tables.json", 1, 1, 1, TableDoc.toJsonString(d)),
+      MergedDoc("runB/paper.tables.json", 1, 1, 1, TableDoc.toJsonString(d))).toDS()
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-dup").toString
+    val n = CsvExport.export(merged, out)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(n == 2 && files.length == 2, files.mkString(","))
+    assert(files.forall(_.startsWith("paper-")), "hash suffix applied to colliding basenames")
+  }
+
   test("stats sort: by table count with doc_id tiebreak (O3 --sort)") {
     import spark.implicits._
     val docs = Seq(("d1", 1), ("d2", 3), ("d3", 3), ("d4", 2)).map { case (id, n) =>
