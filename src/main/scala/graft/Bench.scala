@@ -46,7 +46,7 @@ object Bench {
     val nDocs = pages.count()
     val extractDf = graft.pipeline.ExtractJob.extract(spark, pages,
       graft.pipeline.ExtractJob.Config(buckets = cpus.toInt * 4))
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "9").toInt
     // adaptive warmup: run a small same-shaped corpus (codegen classes are
     // cache-keyed by source, so plan shape — not size — must match) until
     // the BEST observed time stops improving. The round-1 rule
@@ -105,12 +105,25 @@ object Bench {
       }
     }
 
+    // trimmed min: min of the reps EXCLUDING the single best one — robust
+    // to one anomalously good window, while min-of-N stays the documented
+    // headline under measured hypervisor steal (BENCH.md). With 9 reps the
+    // two differ only when rep variance is genuinely extreme.
+    val tExtractTrimmedMin = if (times.length > 1) times.sorted.apply(1) else times.min
+
     val qs = (Seq("extract_docs_per_sec" -> docsPerSec, "extract_sec" -> tExtract,
-      "extract_sec_median" -> tExtractMedian) ++ timings)
+      "extract_sec_median" -> tExtractMedian,
+      "extract_sec_trimmed_min" -> tExtractTrimmedMin) ++ timings)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = tExtract + timings.map(_._2).sum
-    val json = s"""{"metric":"total bench seconds (headline: extract_docs_per_sec in queries)","value":${f"$total%.2f"},"unit":"sec","docs_per_sec":${f"$docsPerSec%.2f"},"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    val repsJson = times.map(t => f"$t%.4f").mkString("[", ",", "]")
+    // SCHEMA STABILITY (round-2 advice): `value` is documents/sec — the
+    // round-1 meaning — and `schema` versions the layout so a consumer
+    // comparing across rounds can detect format changes instead of
+    // silently misreading. min/median/trimmed-min + the raw rep vector are
+    // all emitted explicitly.
+    val json = s"""{"schema":"graft-bench/3","metric":"documents/sec (extracted pages)","value":${f"$docsPerSec%.2f"},"unit":"docs/sec","docs_per_sec":${f"$docsPerSec%.2f"},"total_sec":${f"$total%.2f"},"extract_reps_sec":$repsJson,"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's parser: the file copy survives any
     // stdout wrapping (round 1's [info]-prefixed line parsed as null)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")

@@ -60,10 +60,23 @@ object Validator {
 
   /** default mode: statuses in name order up to and including the first
     * error (the sequential CLI prints VALID lines then stops at the error).
+    *
+    * Distributed form: one bounded aggregate finds the first error name
+    * (`min(name) where status != VALID` — a single row on the driver), then
+    * the prefix is a plain distributed filter. Nothing unbounded ever
+    * reaches the driver, unlike the naive report.collect() — on an
+    * error-free 100×-scale corpus that mode would materialize every row.
     */
-  def reportUntilFirstError(report: Dataset[ValidationResult]): List[ValidationResult] = {
-    val sorted = report.collect().sortBy(_.name).toList
-    val (valid, rest) = sorted.span(_.status == Valid)
-    valid ++ rest.take(1)
+  def reportUntilFirstError(report: Dataset[ValidationResult]): Dataset[ValidationResult] = {
+    import org.apache.spark.sql.functions.{col, min}
+    val spark = report.sparkSession
+    import spark.implicits._
+    val firstError: Option[String] = report
+      .filter(_.status != Valid)
+      .agg(min(col("name")))
+      .as[Option[String]]
+      .head()
+    firstError.fold(report)(fe => report.filter(col("name") <= fe))
+      .orderBy(col("name"))
   }
 }

@@ -11,12 +11,20 @@ final case class PaperAlias(canonical: String, offset: Int = 0)
 
 object Aliases {
 
-  /** parse_column_aliases — aliases.py:12-18: "alias:target" tokens. */
-  def parseColumnAliases(text: String): Vector[(String, String)] =
-    Text.tokenizeSchema(text).flatMap { part =>
+  /** parse_column_aliases — aliases.py:12-18: "alias:target" tokens.
+    * The reference returns a dict, so a duplicate alias keeps its FIRST
+    * insertion position with the LAST value winning — replicated here with
+    * a LinkedHashMap fold (a plain Vector preserved duplicates and could
+    * diverge depending on the consumer).
+    */
+  def parseColumnAliases(text: String): Vector[(String, String)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    Text.tokenizeSchema(text).foreach { part =>
       val i = part.indexOf(':')
-      if (i >= 0) Some(part.substring(0, i) -> part.substring(i + 1)) else None
-    }.toVector
+      if (i >= 0) m(part.substring(0, i)) = part.substring(i + 1)
+    }
+    m.toVector
+  }
 
   /** parse_paper_aliases — aliases.py:21-37: "alias:canonical[:offset]";
     * a non-integer offset is an error (same message shape as the reference).

@@ -24,6 +24,26 @@ final case class MergedDoc(
     n_rows: Int,
     merged_json: String)
 
+/** One row of the nested merged view: per-row metadata plus the cells map
+  * (null value = reference JSON null cell; disagreeing multi-value cells
+  * render as their JSON form, same convention as the K4 flatten).
+  */
+final case class MergedNestedRow(
+    row_idx: Int,
+    row_ : Option[Int],
+    agreement_level_ : Option[Int],
+    n_sources: Int,
+    cells: Map[String, String])
+
+/** One table fragment of the nested merged view (see nestedMergedTables). */
+final case class MergedTableView(
+    doc_id: String,
+    n_runs: Int,
+    table_idx: Int,
+    frag_idx: Int,
+    page: Int,
+    rows: Seq[MergedNestedRow])
+
 /** One flattened merged table row (the relational projection of a merge). */
 final case class MergedFlatRow(
     doc_id: String,
@@ -158,6 +178,41 @@ object MergeJob {
         row.rowIdx, row.agreementLevel, row.sources.map(_.size).getOrElse(0))
     }
   }
+
+  /** Nested relational view over merged docs (one row per table fragment,
+    * rows + cells as a nested column): the typed parse happens ONCE per doc
+    * in this flatMap — a SQL user then explodes the materialized struct
+    * column freely, with no from_json re-parse per consuming expression
+    * (the measured 46 s CollapseProject trap). Nesting is capped at two
+    * levels (rows[].cells{}) deliberately: the round-1 lesson is that a
+    * 4-level nested encoder generates a serializer method too large for
+    * HotSpot to JIT (tasks run interpreted, 50-100× slower).
+    */
+  def nestedMergedTables(spark: SparkSession, merged: Dataset[MergedDoc]): Dataset[MergedTableView] = {
+    import spark.implicits._
+    merged.flatMap { m =>
+      val doc = TableDoc.fromJsonString(m.merged_json)
+      for {
+        (table, ti) <- doc.tables.zipWithIndex
+        (frag, fi) <- table.fragments.zipWithIndex
+      } yield MergedTableView(m.doc_id, m.n_runs, ti, fi, frag.page,
+        frag.rows.zipWithIndex.map { case (r, ri) =>
+          MergedNestedRow(ri, r.rowIdx, r.agreementLevel,
+            r.sources.map(_.size).getOrElse(0),
+            r.columns.map { case (n, c) =>
+              n -> (c match {
+                case Cell.Null => null
+                case Cell.Str(v) => v
+                case mc: Cell.Multi => Cell.toJson(mc).render
+              })
+            }.toMap)
+        })
+    }
+  }
+
+  /** Register the nested view under `name` for spark.sql consumers. */
+  def registerNestedView(spark: SparkSession, merged: Dataset[MergedDoc], name: String): Unit =
+    nestedMergedTables(spark, merged).createOrReplaceTempView(name)
 
   /** Deterministic perturbation used to synthesize a "second reader" run
     * from an extraction: case/whitespace jitter that the merge normalizers

@@ -163,40 +163,47 @@ object Dedup {
       transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("_1"), y.as("_2")))))
   }
 
-  /** SimHash: 64-bit signature where bit k is the sign of the sum over
-    * token-hash bits — expressed with bit ops over the token array.
-    * Documents within small hamming distance are near-duplicates.
+  /** 62-bit SimHash token hash from two independent polynomial codepoint
+    * hashes: h = scramble(p1) | (scramble(p2) << 31). Chosen over xxhash64
+    * so an independent engine recomputes the whole signature exactly
+    * (DuckDB: list_reduce over unicode codepoints) — giving SimHash a
+    * cross-engine oracle; 62 bits also keeps every shift below the BIGINT
+    * sign bit on both engines.
+    *
+    * Diffusion matters here (measured at sf0.01): the naive `acc*31+cp`
+    * poly hash leaves the last characters in the low bits only — token
+    * pairs like singular/plural get near-identical hashes, signature bits
+    * correlate across documents, and hamming<=3 pair count exploded 1.5k →
+    * 16k. Large LCG multipliers (1103515245 / 1566083941, products stay
+    * under 2^63) plus a final quadratic scramble (p*p%m+p)%m restore
+    * mixing: 1.2k pairs, on par with xxhash64's 1.9k.
     */
-  def simhash(text: Column): Column =
-    simhashOfHashes(transform(array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t)))
+  def polyHash64(s: String): Long = {
+    def scramble(p: Long, mod: Long): Long = (p * p % mod + p) % mod
+    scramble(graft.ops.TextAnalysis.polyHashSeeded(s, 7L, 2147483647L, 1103515245L), 2147483647L) |
+      (scramble(graft.ops.TextAnalysis.polyHashSeeded(s, 13L, 2147483629L, 1566083941L), 2147483629L) << 31)
+  }
 
-  /** SimHash from a pre-materialized token-hash array column. */
-  def simhashOfHashes(hashes: Column): Column =
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** SimHash bit width (bits 0..61 — see polyHash64). */
+  val SimhashBits = 62
 
-  /** SimHash near-dup candidates at hamming distance <= 3 via the 4-band
-    * exact-match trick (any pair within distance 3 shares at least one of
-    * 4 16-bit bands).
-    */
-  /** Typed single-pass SimHash signatures (same rationale as bandHashRows:
-    * 64 HOF bit-vote aggregates are interpreted and get duplicated by
-    * projection collapse — plain Scala is a single O(tokens*64) pass).
+  /** Typed single-pass SimHash signatures over distinct lowercase tokens
+    * (the round-1 lesson applies: 62 HOF bit-vote aggregates would be
+    * interpreted and duplicated by projection collapse — plain Scala is a
+    * single O(tokens*62) pass). Bit k of the signature is the sign of the
+    * vote sum over token-hash bit k.
     */
   def simhashRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (docId, text) =>
-        val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct
-        val votes = new Array[Int](64)
+        val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct
+        val votes = new Array[Int](SimhashBits)
         var ti = 0
         while (ti < tokens.length) {
-          val h = hash64(tokens(ti), 0L)
+          val h = polyHash64(tokens(ti))
           var bit = 0
-          while (bit < 64) {
+          while (bit < SimhashBits) {
             if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
             bit += 1
           }
@@ -204,7 +211,7 @@ object Dedup {
         }
         var sig = 0L
         var bit = 0
-        while (bit < 64) {
+        while (bit < SimhashBits) {
           if (votes(bit) > 0) sig |= (1L << bit)
           bit += 1
         }
@@ -213,6 +220,14 @@ object Dedup {
     }.toDF("doc_id", "sig")
   }
 
+  /** SimHash near-dup pairs at hamming distance <= 3 via the 4-band
+    * exact-match trick: the 62 signature bits split into 4 disjoint 16-bit
+    * bands (band 3 carries 14 live bits), and by pigeonhole any pair within
+    * distance 3 agrees on at least one whole band — so recall is EXACT, not
+    * probabilistic; the only divergence from brute-force all-pairs hamming
+    * is the maxBucket skew cap discarding degenerate buckets (boilerplate
+    * signatures). The DuckDB oracle recomputes all-pairs hamming exactly.
+    */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame = {
     val sigs = simhashRows(spark, docs)
     val banded = sigs.select(col("doc_id"), col("sig"),

@@ -99,23 +99,50 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF top-k (the scale path): centroids = corpus vectors passing a
-    * deterministic hash filter (`xxhash64(vec_id) % centroidStride == 0` —
-    * expected |corpus|/stride cells, no global sort). The bounded centroid
-    * set is collected once and broadcast (the classic IVF pattern — k-means
-    * centroids always live driver/broadcast-side); cell assignment and query
-    * probing are narrow typed passes; candidate scoring joins the corpus
-    * against BROADCAST probes on cell_id. Returns bruteForceTopK's schema.
+  /** Polynomial codepoint hash of a string column — the Catalyst twin of
+    * TextAnalysis.polyHash (acc = (acc*31 + cp) % (2^31-1), seed 7), chosen
+    * because an independent engine recomputes it exactly (DuckDB:
+    * list_reduce over unicode codepoints). ASCII-safe (`ascii` reads one
+    * char); used here on decimal id strings.
+    */
+  def polyHashCol(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("bigint")),
+      lit(7L), (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  /** Deterministic, corpus-size-INDEPENDENT centroid pick: the
+    * `numCentroids` corpus vectors with the smallest
+    * (polyHash(vec_id), vec_id). orderBy+limit plans as
+    * TakeOrderedAndProject — every partition keeps at most `numCentroids`
+    * rows, so driver state is fixed at k regardless of corpus size (the
+    * round-2 stride filter collected |corpus|/stride rows: 100× corpus →
+    * 100× driver state and an O(n²/stride) assignment scan).
+    */
+  def ivfCentroids(corpus: DataFrame, numCentroids: Int): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(polyHashCol(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .as[(Long, Array[Float])]
+      .collect() // exactly min(numCentroids, |corpus|) rows, by construction
+  }
+
+  /** IVF top-k (the scale path): a FIXED count of centroids picked
+    * deterministically by hash order (see ivfCentroids — driver/broadcast
+    * state is k-bounded, never grows with the corpus; size numCentroids
+    * ≈ √n for balanced cells, e.g. 1B vectors → ~32k centroids ≈ 128 MB of
+    * 1k-dim float32 broadcast, comfortably executor-resident). Cell
+    * assignment and query probing are narrow typed passes; candidate
+    * scoring joins the corpus against BROADCAST probes on cell_id.
+    * Returns bruteForceTopK's schema.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, centroidStride: Int = 32, nProbe: Int = 4): DataFrame = {
+      k: Int, numCentroids: Int = 256, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
-    val cents: Array[(Long, Array[Float])] = corpus
-      .filter(pmod(xxhash64(col("vec_id")), lit(centroidStride.toLong)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .collect() // bounded by construction: ~|corpus|/stride rows
-    require(cents.nonEmpty, s"centroidStride=$centroidStride produced no centroids")
+    val cents: Array[(Long, Array[Float])] = ivfCentroids(corpus, numCentroids)
+    require(cents.nonEmpty, "empty corpus: no centroids")
     val bc = spark.sparkContext.broadcast(cents)
 
     def nearestCells(emb: Array[Float], n: Int): Array[Long] =
@@ -138,6 +165,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     topK(scored, k)
+  }
+
+  /** ivfTopK with the classic √n centroid sizing derived from one cheap
+    * corpus count() (ids+scan only — column-pruned). Use when the corpus
+    * size isn't known up front; pass numCentroids explicitly to avoid the
+    * extra job.
+    */
+  def ivfTopKAuto(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    val numCentroids = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    ivfTopK(spark, queries, corpus, k, numCentroids, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above a similarity

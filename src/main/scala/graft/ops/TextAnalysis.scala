@@ -87,12 +87,19 @@ object TextAnalysis {
     * it exactly (DuckDB: list_reduce over unicode codepoints), giving the
     * fingerprint family a cross-engine oracle that xxhash64 cannot have.
     */
-  def polyHash(s: String): Long = {
-    var acc = 7L
+  def polyHash(s: String): Long = polyHashSeeded(s, 7L, 2147483647L)
+
+  /** Seeded/modulus/multiplier-parameterized polynomial codepoint hash —
+    * two independent instances combine into the 62-bit SimHash token hash
+    * (Dedup.polyHash64) while staying DuckDB-recomputable. Keep
+    * `mult * (mod-1)` below 2^63 (both engines hash in signed 64-bit).
+    */
+  def polyHashSeeded(s: String, seed: Long, mod: Long, mult: Long = 31L): Long = {
+    var acc = seed
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 2147483647L
+      acc = (acc * mult + cp) % mod
       i += Character.charCount(cp)
     }
     acc

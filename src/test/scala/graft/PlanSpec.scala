@@ -59,8 +59,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("query construction runs no Spark jobs (no driver-side collects)") {
     // constructing every registered DataFrame must stay lazy; the ONLY
-    // allowed action is ivfTopK's bounded centroid collect (~corpus/stride
-    // rows — the classic broadcast-centroid IVF shape)
+    // allowed action is ivfTopK's k-bounded centroid collect (fixed
+    // numCentroids rows via TakeOrderedAndProject — the classic
+    // broadcast-centroid IVF shape)
     // warm pass: first-touch parquet footer/schema planning jobs are
     // memoized (Queries.tbl / SyntheticPages.docsDf) — not data reads
     SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir) }

@@ -56,8 +56,13 @@ class ValidatorSpec extends AnyFunSuite {
       "4.tables.json" -> invalid).toDS()
     val rep = Validator.report(spark, files)
     assert(Validator.reportAll(rep).count() == 4)
-    val untilFirst = Validator.reportUntilFirstError(rep)
+    val untilFirst = Validator.reportUntilFirstError(rep).collect().toList
     assert(untilFirst.map(_.name) == List("1.tables.json", "2.tables.json"))
     assert(untilFirst.last.status == Validator.MalformedJson)
+    // error-free input: the whole report comes back (name-ordered)
+    val clean = Validator.report(spark,
+      Seq("b.tables.json" -> valid, "a.tables.json" -> valid).toDS())
+    assert(Validator.reportUntilFirstError(clean).collect().toList.map(_.name) ==
+      List("a.tables.json", "b.tables.json"))
   }
 }

@@ -55,11 +55,27 @@ class OpsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(spark, queries, emb, 10, centroidStride = 64, nProbe = 4)
+    val approx = Similarity.ivfTopK(spark, queries, emb, 10, numCentroids = 8, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low") // 4/16 cells probed
+    assert(recall >= 0.5, s"IVF recall $recall too low") // 4/8 cells probed
     assert(approx.size <= exact.size)
+  }
+
+  test("IVF centroid count is fixed, independent of corpus size") {
+    // the scale invariant: |centroids| == min(numCentroids, |corpus|) at
+    // BOTH corpus sizes — driver/broadcast state never grows with the data
+    // (round-2's stride filter collected |corpus|/stride rows)
+    val small = emb.filter(col("vec_id") < 100)
+    assert(Similarity.ivfCentroids(small, 16).length == 16)
+    assert(Similarity.ivfCentroids(emb, 16).length == 16)
+    // deterministic pick: same prefix property — the chosen set is a pure
+    // function of (vec_id hash order), so re-running yields identical ids
+    val a = Similarity.ivfCentroids(emb, 16).map(_._1).toVector
+    val b = Similarity.ivfCentroids(emb, 16).map(_._1).toVector
+    assert(a == b)
+    // tiny corpus: bounded by corpus size
+    assert(Similarity.ivfCentroids(emb.filter(col("vec_id") < 5), 16).length == 5)
   }
 
   test("cosine near-dup finds planted scaled twins (scale-invariance of cosine)") {
