@@ -263,6 +263,15 @@ object Text {
       case "scientific_name" => Some(TScientificName)
       case _                 => None
     }
+
+    /** Reverse of `parse` — column_schema.py:19 `_reverse_types_map`. */
+    def name(t: ColType): String = t match {
+      case TStr            => "str"
+      case TInt            => "int"
+      case TFloat          => "float"
+      case TBool           => "bool"
+      case TScientificName => "scientific_name"
+    }
   }
   import ColType._
 

@@ -53,6 +53,10 @@ final case class ColumnSchema(columns: Vector[(String, Text.ColType)]) {
   def columnNames: List[String] = columns.map(_._1).toList
   def columnType(name: String): Text.ColType = byName(name)
   def nonEmpty: Boolean = columns.nonEmpty
+
+  /** Settings-dict form, ordered — column_schema.py:41-42. */
+  def serialize: Vector[(String, String)] =
+    columns.map { case (n, t) => (n, Text.ColType.name(t)) }
 }
 
 object ColumnSchema {
@@ -71,6 +75,11 @@ object ColumnSchema {
     cols ++= seen
     ColumnSchema(cols.result())
   }
+
+  /** column_schema.py:59-63 — empty dict means "no schema". */
+  def fromSettingsDict(d: Seq[(String, String)]): Option[ColumnSchema] =
+    if (d.isEmpty) None
+    else Some(parse(d.map { case (k, v) => s"$k:$v" }.mkString(",")))
 }
 
 trait LoadTimeAnalyzer {
