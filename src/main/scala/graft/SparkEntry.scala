@@ -258,6 +258,12 @@ object Queries {
     "q_fingerprint_poly" -> ((s, dir) =>
       TextAnalysis.polyFingerprintRows(s, docs(s, dir))),
 
+    // true winnowing (sliding-window minima over k-gram hashes) — the
+    // distinct-minima set summarized per doc; DuckDB recomputes the exact
+    // set with list slicing
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprintRows(s, docs(s, dir))),
+
     "q_doc_fingerprint_md5" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint"))),
 
@@ -613,6 +619,35 @@ object Queries {
         |    [unicode(c) for c in regexp_split_to_array(gr, '')]),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) for gr in grams]) AS min_gram_poly
         |FROM g""".stripMargin,
+    // exact winnowing recompute: same ORDERED grams (no distinct — window
+    // position matters), same poly hash, same w=4 sliding minima, then the
+    // distinct fingerprint set summarized identically
+    "q_fingerprint_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               for i in generate_series(1, len(toks) - 2)] END AS grams
+        |  FROM tok),
+        |h AS (
+        |  SELECT doc_id,
+        |    [list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |       [unicode(c) for c in regexp_split_to_array(gr, '')]),
+        |       (acc, x) -> (acc * 31 + x) % 2147483647) for gr in grams] AS hs
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |      ELSE [list_min(hs[i:i+3]) for i in generate_series(1, len(hs) - 3)] END) AS fp
+        |  FROM h)
+        |SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), fp), (a, b) -> a + b) AS fp_sum
+        |FROM m""".stripMargin,
     "q_exact_dedup_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -131,6 +131,123 @@ object TextAnalysis {
       }
     }.toDF("doc_id", "poly_hash", "min_gram_poly")
   }
+
+  /** Ordered (positional, non-distinct) token k-grams — winnowing is
+    * window-positional, so unlike `Dedup.shinglesOf` duplicates must stay.
+    */
+  def orderedShingles(text: String, n: Int): Array[String] = {
+    val tokens = sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n) Array(tokens.mkString(" "))
+    else Array.tabulate(tokens.length - n + 1)(i => tokens.slice(i, i + n).mkString(" "))
+  }
+
+  /** True winnowing fingerprint (the local-minimum document fingerprinting
+    * scheme: k-gram hashes, sliding window of w, keep each window's
+    * minimum; the distinct minima are the fingerprint set — guarantees any
+    * shared run of w+k-1 tokens between two documents shares a selected
+    * hash). Poly-hashed so an independent engine can recompute the exact
+    * set; summarized per doc as (set size, set min, set sum) to keep the
+    * output row small. One typed narrow pass over the scan — no shuffle,
+    * nothing but the 4 scalars leaves the task.
+    */
+  def winnowFingerprintRows(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val fp = winnowDistinctSorted(text, k, w)
+        var sum = 0L
+        var i = 0
+        while (i < fp.length) { sum += fp(i); i += 1 }
+        (id, fp.length, fp(0), sum)
+      }
+    }.toDF("doc_id", "n_fp", "fp_min", "fp_sum")
+  }
+
+  /** The winnowing fingerprint set itself (sorted) — test/reference form. */
+  def winnowSet(text: String, k: Int = 3, w: Int = 4): scala.collection.SortedSet[Long] =
+    scala.collection.immutable.SortedSet.from(winnowDistinctSorted(text, k, w))
+
+  private def polyStep(s: String, acc0: Long, mod: Long, mult: Long): Long = {
+    var acc = acc0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Sorted distinct window minima. Hot path: gram hashes are folded
+    * incrementally over the token array (no k-gram strings are ever
+    * allocated — hashing "w1 w2 w3" char-by-char with the ' ' separator is
+    * value-identical to hashing the joined string), and the sliding minimum
+    * is a monotonic deque, O(m) total instead of O(m·w) with per-window
+    * boxing. At 100 TB this pass is the whole operator, so constant factors
+    * here are the operator's throughput.
+    */
+  private[ops] def winnowDistinctSorted(text: String, k: Int, w: Int): Array[Long] = {
+    val mod = 2147483647L
+    val tokens = sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val m = if (tokens.length < k) 1 else tokens.length - k + 1
+    val hs = new Array[Long](m)
+    if (tokens.length < k) {
+      // joined-short-text fallback, same as orderedShingles
+      var acc = 7L
+      var j = 0
+      while (j < tokens.length) {
+        if (j > 0) acc = (acc * 31 + ' '.toInt) % mod
+        acc = polyStep(tokens(j), acc, mod, 31)
+        j += 1
+      }
+      hs(0) = acc
+    } else {
+      var i = 0
+      while (i < m) {
+        var acc = 7L
+        var j = i
+        while (j < i + k) {
+          if (j > i) acc = (acc * 31 + ' '.toInt) % mod
+          acc = polyStep(tokens(j), acc, mod, 31)
+          j += 1
+        }
+        hs(i) = acc
+        i += 1
+      }
+    }
+    val mins =
+      if (m <= w) Array(hs.min)
+      else {
+        val out = new Array[Long](m - w + 1)
+        val dq = new Array[Int](m) // monotonic index deque (values increasing)
+        var head = 0
+        var tail = 0 // exclusive
+        var i = 0
+        var o = 0
+        while (i < m) {
+          while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+          dq(tail) = i
+          tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) { out(o) = hs(dq(head)); o += 1 }
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    // in-place distinct over the sorted array
+    var r = 1
+    var n = 1
+    while (r < mins.length) {
+      if (mins(r) != mins(n - 1)) { mins(n) = mins(r); n += 1 }
+      r += 1
+    }
+    if (n == mins.length) mins else java.util.Arrays.copyOf(mins, n)
+  }
 }
 
 /** Shared shingling helpers (pure Column expressions). */

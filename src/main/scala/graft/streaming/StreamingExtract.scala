@@ -70,6 +70,13 @@ object StreamingExtract {
     * partition reordering). State per key is a single boolean; at crawl
     * scale the keys are content hashes in a RocksDB state store, so state
     * size is bytes-per-distinct-document, never the text itself.
+    *
+    * State growth: NoTimeout means one entry per distinct document hash,
+    * forever. Sizing: a 32-hex-char key + boolean + RocksDB overhead is
+    * ~90 B/key, so 10^9 distinct documents ≈ 90 GB spread across executor
+    * RocksDB stores — feasible but unbounded. For an infinite crawl use
+    * [[dedupStreamTtl]], which bounds state to the documents seen inside a
+    * TTL window via event-time timeouts.
     */
   def dedupStream(spark: SparkSession, docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import spark.implicits._
@@ -87,6 +94,60 @@ object StreamingExtract {
           else {
             state.update(true)
             Iterator.single(rows.minBy(_._1))
+          }
+      }
+  }
+
+  /** [[dedupStream]] with bounded state: the per-hash state entry is
+    * evicted once the event-time watermark passes the key's last sighting
+    * plus `ttlMillis` (sliding TTL — every duplicate sighting extends the
+    * clock, so hot duplicates stay suppressed while cold hashes expire).
+    * Eviction trades exactness for boundedness: a duplicate arriving more
+    * than the TTL after its content hash was last seen is re-emitted. At
+    * crawl scale this caps RocksDB state at (documents seen per TTL
+    * window) × ~90 B instead of the corpus lifetime, and is the standard
+    * windowed-dedup contract (Spark's own dropDuplicatesWithinWatermark
+    * makes the same trade).
+    *
+    * Input rows carry an event timestamp; `watermarkDelay` is the usual
+    * out-of-orderness bound (withWatermark).
+    */
+  def dedupStreamTtl(
+      spark: SparkSession,
+      docs: Dataset[(Long, String, java.sql.Timestamp)],
+      watermarkDelay: String = "10 minutes",
+      ttlMillis: Long = 24L * 3600 * 1000): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .toDF("doc_id", "text", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey { case (_, text, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val out =
+              if (state.exists) Iterator.empty[(Long, String)]
+              else {
+                state.update(true)
+                val first = batch.minBy(_._1)
+                Iterator.single((first._1, first._2))
+              }
+            // extend the eviction clock past this batch's latest sighting;
+            // must stay ahead of the current watermark or Spark rejects it
+            val maxTs = batch.map(_._3.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs + 1))
+            out
           }
       }
   }

@@ -120,6 +120,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("winnowing fingerprint: shared w+k-1 token run guarantees an overlap") {
+    import spark.implicits._
+    // the winnowing guarantee: any run of w+k-1 = 6 shared tokens spans a
+    // full window of shared gram hashes, so its minimum is selected by both
+    val shared = "lantern fox glass frog ember owl"
+    val a = s"alpha beta gamma $shared delta epsilon"
+    val b = s"zeta eta theta iota $shared kappa"
+    val c = "completely different vocabulary with no overlap at all here"
+    assert((TextAnalysis.winnowSet(a) & TextAnalysis.winnowSet(b)).nonEmpty)
+    assert((TextAnalysis.winnowSet(a) & TextAnalysis.winnowSet(c)).isEmpty)
+
+    // short docs (|grams| <= w) collapse to exactly one window minimum
+    assert(TextAnalysis.winnowSet("tiny doc").size == 1)
+    assert(TextAnalysis.winnowSet("one two three four five").size == 1) // 3 grams, w=4
+
+    // the DataFrame summary matches the set
+    val df = TextAnalysis.winnowFingerprintRows(spark, Seq((1L, a)).toDF("doc_id", "text"))
+      .collect().head
+    val set = TextAnalysis.winnowSet(a)
+    assert(df.getInt(1) == set.size)
+    assert(df.getLong(2) == set.head)
+    assert(df.getLong(3) == set.sum)
+  }
+
   test("language ID is deterministic and covers the stopword languages") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langIdColumns(col("text")).as("predicted")).collect()

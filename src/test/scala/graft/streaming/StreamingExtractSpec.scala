@@ -63,6 +63,40 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((3L, "alpha text"), (10L, "beta text"), (11L, "gamma text")))
   }
 
+  test("TTL streaming dedup: state evicts at watermark + ttl, then re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1735689600000L // 2025-01-01T00:00:00Z
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-ttl").toString
+    val q = StreamingExtract.dedupStreamTtl(spark, input.toDS(),
+      watermarkDelay = "0 seconds", ttlMillis = 10000L)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_ttl_out")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    // batch 1: in-batch duplicate (min id wins) + a unique
+    input.addData((7L, "alpha text", ts(0)), (3L, "alpha text", ts(0)), (10L, "beta text", ts(0)))
+    q.processAllAvailable()
+    // batch 2: duplicate within the TTL -> suppressed (and TTL extended to t+15s)
+    input.addData((99L, "alpha text", ts(5)), (50L, "delta text", ts(40)))
+    q.processAllAvailable()
+    // batch 3: watermark (now t+40s from batch 2) passes every timeout -> state evicted
+    input.addData((60L, "epsilon text", ts(80)))
+    q.processAllAvailable()
+    // batch 4: same content arriving AFTER eviction is re-emitted (the documented trade)
+    input.addData((123L, "alpha text", ts(81)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_ttl_out").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (3L, "alpha text"), (10L, "beta text"), (50L, "delta text"),
+      (60L, "epsilon text"), (123L, "alpha text")))
+  }
+
   test("windowed watermark aggregation over the page stream") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream-agg").toString
