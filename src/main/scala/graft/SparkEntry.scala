@@ -8,7 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -246,6 +246,11 @@ object Queries {
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), col("text"))),
 
+    // Gopher-style repetitiveness signals over the word-bigram multiset
+    // (integer-scaled fractions — cross-engine hash-safe)
+    "q_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(s, docs(s, dir))),
+
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
@@ -270,6 +275,30 @@ object Queries {
     // ----- training-data ops: dedup
     "q_exact_dedup_md5" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), col("text"), col("doc_id"))),
+
+    // connected components over a deterministic arithmetic pair graph
+    // (consecutive-id chains broken at every 13th id, plus skip links from
+    // every 100th id that re-merge two chains across a break — component
+    // diameters up to ~25, forcing real multi-round convergence). This is
+    // the transitive-closure step pair-emitting dedup ops leave open:
+    // A~B, B~C must collapse to ONE keeper even though A~C never paired.
+    // The iterative fixpoint is inherently an ACTION (iteration count is
+    // data-dependent), so the result is memoized per (session, dir) —
+    // construction after the first touch is free (see the PlanSpec jobs
+    // gate). DuckDB recomputes the exact components with a recursive CTE.
+    "q_dup_clusters" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_dup_clusters") {
+        val ids = docs(s, dir).select(col("doc_id"))
+        def arithEdges(off: Int, pred: org.apache.spark.sql.Column) =
+          ids.filter(pred)
+            .select(col("doc_id").as("src"), (col("doc_id") + off).as("dst"))
+            .join(ids.select(col("doc_id").as("dst")), "dst") // endpoint must exist
+            .select(col("src"), col("dst"))
+        val edges = arithEdges(1, col("doc_id") % 13 =!= 12)
+          .union(arithEdges(26, col("doc_id") % 100 === 0))
+        DupClusters.connectedComponents(s, edges, Some(ids))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      }),
 
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashLshPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))
@@ -651,6 +680,50 @@ object Queries {
     "q_exact_dedup_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // exact transitive closure of the same arithmetic pair graph: a
+    // recursive CTE floods every label across symmetric edges; min per
+    // vertex = the component minimum, matching the engine's min-label CC
+    "q_dup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 13 <> 12
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 26
+        |  WHERE a.doc_id % 100 = 0),
+        |edges AS (
+        |  SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q_repetition_signals" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
+        |  FROM tok),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |             CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |             CAST(max(cnt) AS BIGINT) AS top_bigram_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.distinct_bigrams, 0) AS distinct_bigrams,
+        |  coalesce(a.top_bigram_count, 0) AS top_bigram_count,
+        |  CASE WHEN a.n_bigrams IS NULL THEN 0
+        |       ELSE 1000 * (a.n_bigrams - a.distinct_bigrams) // a.n_bigrams END AS dup_bigram_x1000,
+        |  CASE WHEN a.n_bigrams IS NULL THEN 0
+        |       ELSE 1000 * a.top_bigram_count // a.n_bigrams END AS top_bigram_x1000
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -132,6 +132,46 @@ object TextAnalysis {
     }.toDF("doc_id", "poly_hash", "min_gram_poly")
   }
 
+  /** Repetition quality signals (the Gopher-style repetitiveness filters a
+    * training-data pipeline cuts on): per document, over the ordered word
+    * bigram sequence —
+    *   n_bigrams          total bigram occurrences,
+    *   distinct_bigrams   distinct bigrams,
+    *   top_bigram_count   occurrences of the most frequent bigram,
+    *   dup_bigram_x1000   floor(1000 · (n - distinct) / n)  (repeat mass),
+    *   top_bigram_x1000   floor(1000 · top / n)             (mode mass).
+    * Fractions are integer-scaled (never float — cross-engine hash safety)
+    * and all columns are BIGINT. One typed narrow pass per doc: the bigram
+    * multiset is counted in a per-row hash map and only the 6 scalars leave
+    * the task — no shuffle, nothing content-sized moves. (A pure-Column
+    * formulation would need aggregate-over-transform HOFs, which re-evaluate
+    * the token split per element — the measured round-1 trap.)
+    */
+  def repetitionSignals(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val toks = sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        val n = math.max(toks.length - 1, 0)
+        val counts = new java.util.HashMap[String, Int](n * 2 + 4)
+        var i = 0
+        var top = 0
+        while (i < n) {
+          val bg = toks(i) + " " + toks(i + 1)
+          val c = counts.merge(bg, 1, (a, b) => a + b)
+          if (c > top) top = c
+          i += 1
+        }
+        val nL = n.toLong
+        val distinct = counts.size.toLong
+        val dupX = if (n == 0) 0L else 1000L * (nL - distinct) / nL
+        val topX = if (n == 0) 0L else 1000L * top / nL
+        (id, nL, distinct, top.toLong, dupX, topX)
+      }
+    }.toDF("doc_id", "n_bigrams", "distinct_bigrams", "top_bigram_count",
+      "dup_bigram_x1000", "top_bigram_x1000")
+  }
+
   /** Ordered (positional, non-distinct) token k-grams — winnowing is
     * window-positional, so unlike `Dedup.shinglesOf` duplicates must stay.
     */

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+
+class DupClustersSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)], vertices: Option[Seq[Long]] = None): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val v = vertices.map(_.toDF("id"))
+    DupClusters.connectedComponents(spark, e, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to the minimum id") {
+    val got = cc((0L until 9L).map(i => (i, i + 1)))
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("two components, an isolated vertex, self-loops and duplicate edges") {
+    val edges = Seq((5L, 3L), (3L, 5L), (3L, 3L), (5L, 9L), (20L, 21L), (21L, 20L))
+    val got = cc(edges, vertices = Some(Seq(3L, 5L, 9L, 20L, 21L, 99L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 99L -> 99L))
+  }
+
+  test("star around a high id still labels by the component minimum") {
+    val got = cc(Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L)))
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 100L))
+  }
+
+  test("pointer doubling converges on a 100-long chain well inside maxIter") {
+    import spark.implicits._
+    // a plain propagate-only scheme needs ~100 rounds here; the compressed
+    // scheme must finish inside the default maxIter=30 (O(log d))
+    val e = (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = DupClusters.connectedComponents(spark, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
+  test("clusters from planted LSH pairs put each twin with its original") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = Dedup.withPlantedNearDups(docs)
+    val pairs = Dedup.minhashLshPairs(spark, planted)
+    val clusters = DupClusters.clustersFromPairs(
+      spark, pairs, vertices = Some(planted.select(col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted twin that LSH paired must share its original's cluster,
+    // and the cluster id is the original (minimum) id
+    val paired = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(paired.nonEmpty)
+    paired.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // vertices with no pair stay singleton clusters of themselves
+    val inPairs = paired.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (id, cl) => if (!inPairs.contains(id)) assert(cl == id) }
+  }
+
+  test("registered q_dup_clusters matches a driver-side union-find") {
+    val out = graft.SparkEntry.queries("q_dup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: sequential union-find over the same edge rule
+    val ids = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val present = ids.toSet
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.foreach { i =>
+      if (i % 13 != 12 && present.contains(i + 1)) union(i, i + 1)
+      if (i % 100 == 0 && present.contains(i + 26)) union(i, i + 26)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(out == want)
+    // sanity: the skip links actually merged chains (non-trivial diameters)
+    assert(want(38L) == 0L && want(12L) == 0L)
+  }
+
+  test("repetition signals match a per-doc reference count") {
+    import spark.implicits._
+    val sample = Seq(
+      (1L, "a b a b a b"),            // bigrams: ab,ba,ab,ba,ab -> n=5, distinct=2, top=3
+      (2L, "x y z w"),                // all distinct -> n=3, distinct=3, top=1
+      (3L, "solo"),                   // no bigrams
+      (4L, "  t  t   t "))            // whitespace runs: t t t -> n=2, distinct=1, top=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(spark, sample)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((5L, 2L, 3L, 1000L * 3 / 5, 1000L * 3 / 5)))
+    assert(got(2L) == ((3L, 3L, 1L, 0L, 1000L / 3)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 1L, 2L, 500L, 1000L)))
+  }
+}
