@@ -90,7 +90,7 @@ object Bench {
       "q_anti_join_resume", "q_join_agg_nation", "q_token_count",
       "q_quality_score", "q_lang_id", "q_fingerprint_poly",
       "q_fingerprint_winnow", "q_merged_column_agreement",
-      "q_repetition_signals", "q_dup_clusters",
+      "q_repetition_signals", "q_dup_clusters", "q_curation_pipeline",
       "q_exact_dedup_md5", "q_minhash_dedup", "q_simhash_dedup",
       "q_cosine_near_dup", "q_ann_topk", "q_ann_ivf", "q_multimodal_meta")
     // each query shape is warmed once (codegen class generation + JIT

@@ -8,7 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
-import graft.ops.{Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -271,6 +271,12 @@ object Queries {
 
     "q_doc_fingerprint_md5" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint"))),
+
+    // the full curation pass COMPOSED (quality gate → repetition gate →
+    // exact dedup with min-id keeper) over a corpus with planted exact
+    // twins — oracle-checks the ops chained, not just in isolation
+    "q_curation_pipeline" -> ((s, dir) =>
+      Curation.curate(s, Curation.withPlantedExactDups(docs(s, dir)))),
 
     // ----- training-data ops: dedup
     "q_exact_dedup_md5" -> ((s, dir) =>
@@ -680,6 +686,48 @@ object Queries {
     "q_exact_dedup_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // the same composition, recomputed stage by stage: planted twins
+    // (UNION ALL), the quality predicate, the bigram repeat-mass gate,
+    // then min-doc_id-per-md5 keeper selection
+    "q_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        |q AS (
+        |  SELECT doc_id,
+        |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars
+        |  FROM corpus
+        |  WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |    AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
+        |    AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
+        |tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM corpus),
+        |bg AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
+        |  FROM tok),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |r AS (
+        |  SELECT doc_id, dup_bigram_x1000 FROM (
+        |    SELECT doc_id,
+        |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
+        |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
+        |    FROM c GROUP BY doc_id)
+        |  WHERE dup_bigram_x1000 <= 100),
+        |h AS (SELECT doc_id, md5(text) AS content_md5 FROM corpus),
+        |kept AS (
+        |  SELECT h.doc_id, h.content_md5, q.n_tokens, q.n_chars, r.dup_bigram_x1000
+        |  FROM h JOIN q USING (doc_id) JOIN r USING (doc_id)),
+        |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
+        |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
+        |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

@@ -85,6 +85,32 @@ class DupClustersSpec extends AnyFunSuite {
     assert(want(38L) == 0L && want(12L) == 0L)
   }
 
+  test("curation pipeline: quality, repetition and dedup gates each bite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),   // kept
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1 -> dropped (keeper = min id)
+      (3L, "run run run run run run run run run run run run"),    // dup_bigram_x1000 = 909 -> dropped (passes quality)
+      (4L, "!!! ??? ... ,,, ;;; ::: !!! ??? ... ,,,"),             // punct mass -> quality_ok false -> dropped
+      (5L, "ab"),                                                  // < 5 tokens -> dropped
+      (6L, "many different words make a normal looking sentence here"))
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(spark, docs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 6L))
+  }
+
+  test("planted exact twins double every 17th doc and dedup keeps the original") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = Curation.withPlantedExactDups(docs)
+    val nTwins = docs.filter(col("doc_id") % 17 === 0).count()
+    assert(planted.count() == docs.count() + nTwins)
+    val kept = Curation.curate(spark, planted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // no twin id survives; its original does (both pass the content gates
+    // since the text is byte-identical)
+    assert(kept.forall(_ < 2000000))
+  }
+
   test("repetition signals match a per-doc reference count") {
     import spark.implicits._
     val sample = Seq(
