@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * registering it whole also oracle-checks the ops COMPOSED (join keys,
   * filter order, keeper rule), not just in isolation.
   *
-  * Scale notes: every stage input/output is scalar-width (doc_id + a few
-  * longs) — the text is read once per signal pass and never shuffles. The
-  * doc_id joins and the md5 keeper groupBy are the only wide edges, all on
-  * narrow rows; dedup runs AFTER the cheap filters so the shuffle sees only
-  * survivors.
+  * Scale design: all per-document signals (content md5, token/char counts,
+  * quality predicate, bigram repeat mass) come from ONE typed pass over the
+  * scan — the corpus text is read once and never shuffles. (The naive
+  * composition — qualityScore ⋈ repetitionSignals ⋈ md5 projection on
+  * doc_id — reads the text three times and shuffles three scalar branches;
+  * at 100 TB the extra scans are the whole cost.) Survivor filtering
+  * happens before the only wide edge, the md5-keeper groupBy, so the
+  * shuffle carries post-filter scalar rows only.
   */
 object Curation {
 
@@ -21,25 +24,65 @@ object Curation {
       /** keep docs with word-bigram repeat mass ≤ this (×1000 scale) */
       maxDupBigramX1000: Long = 100)
 
+  /** Per-doc curation signals, single pass. Semantics mirror the relational
+    * ops exactly (oracle-checked via q_curation_pipeline):
+    * [[TextAnalysis.tokenCount]], [[TextAnalysis.qualityScore]]'s
+    * predicate, [[TextAnalysis.repetitionSignals]]' repeat mass, and SQL
+    * `md5(text)`.
+    */
+  def signals(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        // SQL length() = codepoints; SQL split-on-\s+ of a trimmed string
+        val nChars = text.codePointCount(0, text.length).toLong
+        val trimmed = TextAnalysis.sqlTrim(text)
+        val nTokens = trimmed.split("\\s+").length.toLong
+        var punct = 0L
+        var i = 0
+        while (i < text.length) {
+          (text.charAt(i): @annotation.switch) match {
+            case '.' | ',' | ';' | ':' | '!' | '?' => punct += 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val qualityOk = nTokens >= 5 &&
+          nChars >= nTokens * 3 && nChars <= nTokens * 13 && punct * 10 <= nChars
+        // bigram repeat mass over the lowercased token sequence
+        val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        val n = math.max(toks.length - 1, 0)
+        val counts = new java.util.HashMap[String, Int](n * 2 + 4)
+        var j = 0
+        while (j < n) {
+          counts.merge(toks(j) + " " + toks(j + 1), 1, (a, b) => a + b)
+          j += 1
+        }
+        val dupX = if (n == 0) 0L else 1000L * (n.toLong - counts.size) / n
+        digest.reset()
+        val md5Hex = digest.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (id, md5Hex, nTokens, nChars, qualityOk, dupX)
+      }
+    }.toDF("doc_id", "content_md5", "n_tokens", "n_chars", "quality_ok", "dup_bigram_x1000")
+  }
+
   /** Curate (doc_id, text) rows: quality_ok && low-repetition && first
     * (minimum doc_id) occurrence of each exact content hash. Returns
     * (doc_id, n_tokens, n_chars, dup_bigram_x1000) for the kept set.
     */
   def curate(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, col("text"))
-      .filter(col("quality_ok"))
-      .select(col("doc_id"), col("n_tokens"), col("n_chars"))
-    val rep = TextAnalysis.repetitionSignals(spark, docs)
-      .filter(col("dup_bigram_x1000") <= cfg.maxDupBigramX1000)
-      .select(col("doc_id"), col("dup_bigram_x1000"))
-    val survivors = docs
-      .select(col("doc_id"), md5(col("text")).as("content_md5"))
-      .join(quality, "doc_id")
-      .join(rep, "doc_id")
-    // exact dedup among survivors: minimum doc_id per content hash wins
-    val keep = survivors.groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = signals(spark, docs)
+      .filter(col("quality_ok") && col("dup_bigram_x1000") <= cfg.maxDupBigramX1000)
+    // exact dedup among survivors: minimum doc_id per content hash wins.
+    // A hash-PARTITIONED window (never global) instead of groupBy+self-join:
+    // the self-join re-evaluates the signal pass in both physical branches
+    // (two corpus scans), the window shape is one scan + one shuffle total.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("content_md5"))
     survivors
-      .join(keep, Seq("content_md5", "doc_id"))
+      .withColumn("keep_id", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("dup_bigram_x1000"))
   }
 

@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("curation pass is one corpus scan + one shuffle (partitioned window keeper)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Curation.curate(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(p.split("Scan parquet").length - 1 == 1, p) // text read ONCE
+    assert(p.split("Exchange").length - 1 == 1, p)     // only the md5 keeper shuffle
+    assert(p.contains("Window"), p)
+  }
+
   test("extract_mapped broadcast-joins the sidecar (no collect, real BHJ)") {
     val p = plan("extract_mapped")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
