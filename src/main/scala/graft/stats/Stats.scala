@@ -21,6 +21,41 @@ final case class PaperStatsRow(
     rows_in_shared_groups: Long,
     rows_with_shared_values: Long)
 
+/** Global roll-up counters with the reference's derived percentages
+  * (/root/reference/src/tablestats/stats.py:37-66,113-135): percentages are
+  * None (omitted from the report) until their denominators are non-zero.
+  */
+final case class GlobalStatsRow(
+    papers: Long,
+    tables: Long,
+    fragments: Long,
+    rows: Long,
+    unique_rows: Long,
+    rows_with_agreement: Long,
+    rows_in_shared_groups: Long,
+    rows_with_shared_values: Long) {
+  def globalAgreementPercentage: Option[Double] =
+    if (rows > 0) Some(rows_with_agreement.toDouble / rows * 100) else None
+  def globalSharedValuesPercentage: Option[Double] =
+    if (rows_in_shared_groups > 0)
+      Some(rows_with_shared_values.toDouble / rows_in_shared_groups * 100)
+    else None
+}
+
+object GlobalStatsRow {
+  /** update_papers_stats accumulation (stats.py:113-135) over per-doc rows. */
+  def accumulate(perDoc: Seq[PaperStatsRow]): GlobalStatsRow =
+    GlobalStatsRow(
+      papers = perDoc.size.toLong,
+      tables = perDoc.map(_.tables).sum,
+      fragments = perDoc.map(_.fragments).sum,
+      rows = perDoc.map(_.rows).sum,
+      unique_rows = perDoc.map(_.unique_rows).sum,
+      rows_with_agreement = perDoc.map(_.rows_with_agreement).sum,
+      rows_in_shared_groups = perDoc.map(_.rows_in_shared_groups).sum,
+      rows_with_shared_values = perDoc.map(_.rows_with_shared_values).sum)
+}
+
 object Stats {
 
   /** row_value_strings — stats.py:69-83: set of (col, stripped value) pairs. */
@@ -143,6 +178,85 @@ object Stats {
     }.toDF("column_name", "inferred_type")
       .groupBy(col("column_name"), col("inferred_type"))
       .agg(count(lit(1)).as("n_tables"))
+  }
+
+  /** Per-paper derived percentages (stats.py:172-179): (agreement,
+    * empty-rows, shared-values); None while the denominator is zero.
+    */
+  def paperPercentages(p: PaperStatsRow): (Option[Double], Option[Double], Option[Double]) = {
+    val agree =
+      if (p.rows > 0) Some(p.rows_with_agreement.toDouble / p.rows * 100) else None
+    val empty =
+      if (p.rows > 0) Some(p.empty_rows.toDouble / p.rows * 100) else None
+    val shared =
+      if (p.rows_in_shared_groups > 0)
+        Some(p.rows_with_shared_values.toDouble / p.rows_in_shared_groups * 100)
+      else None
+    (agree, empty, shared)
+  }
+
+  /** collect_unique_columns (tablestats __main__.py:73-87): first NON-EMPTY
+    * fragment per table contributes its first row's semantic columns;
+    * first type encountered wins per column name, in the given doc order
+    * (the reference depends on filesystem glob order — callers must pass a
+    * deterministic order; the distributed roll-up is [[columnTypes]]).
+    */
+  def uniqueColumns(docs: Seq[TableDoc]): scala.collection.immutable.ListMap[String, String] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for {
+      doc <- docs
+      table <- doc.tables
+      firstRow <- table.fragments.find(_.rows.nonEmpty).flatMap(_.rows.headOption).toList
+      (name, cell) <- firstRow.semanticColumns
+    } {
+      if (!acc.contains(name))
+        acc(name) = inferColumnType(cell.strings.headOption.getOrElse(""))
+    }
+    scala.collection.immutable.ListMap.from(acc)
+  }
+
+  /** format_stats (tablestats __main__.py:122-166) — the reference's stdout
+    * report, line-for-line: global counters, optional percentages (omitted
+    * while None), per-paper blocks in the given order, optional sorted
+    * unique-column list.
+    */
+  def formatStats(
+      global: GlobalStatsRow,
+      perPaper: Seq[PaperStatsRow],
+      columns: Option[Map[String, String]] = None): String = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += "Global Stats:"
+    lines += s"  Papers: ${global.papers}"
+    lines += s"  Tables: ${global.tables}"
+    lines += s"  Fragments: ${global.fragments}"
+    lines += s"  Rows: ${global.rows}"
+    lines += s"  Unique rows: ${global.unique_rows}"
+    lines += s"  Rows with agreement > 1: ${global.rows_with_agreement}"
+    global.globalAgreementPercentage.foreach(p =>
+      lines += f"  Global agreement percentage: $p%.2f%%")
+    global.globalSharedValuesPercentage.foreach(p =>
+      lines += f"  Global shared values percentage: $p%.2f%%")
+    lines += ""
+    lines += "Per-Paper Stats:"
+    perPaper.foreach { ps =>
+      val (agree, empty, shared) = paperPercentages(ps)
+      lines += s"- ${ps.doc_id}:"
+      lines += s"    Tables: ${ps.tables}"
+      lines += s"    Fragments: ${ps.fragments}"
+      lines += s"    Rows: ${ps.rows}"
+      lines += s"    Unique rows: ${ps.unique_rows}"
+      lines += s"    Columns: ${ps.columns}"
+      lines += s"    Rows with agreement > 1: ${ps.rows_with_agreement}"
+      agree.foreach(p => lines += f"    Agreement percentage: $p%.2f%%")
+      empty.foreach(p => lines += f"    Empty rows percentage: $p%.2f%%")
+      shared.foreach(p => lines += f"    Shared values percentage: $p%.2f%%")
+    }
+    columns.foreach { cols =>
+      lines += ""
+      lines += "Unique Columns:"
+      cols.toSeq.sortBy(_._1).foreach { case (n, t) => lines += s"$n:$t" }
+    }
+    lines.mkString("\n")
   }
 
   /** CPython int() literal acceptance: sign + decimal digits (any Unicode
