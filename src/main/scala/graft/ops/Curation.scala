@@ -50,16 +50,10 @@ object Curation {
         }
         val qualityOk = nTokens >= 5 &&
           nChars >= nTokens * 3 && nChars <= nTokens * 13 && punct * 10 <= nChars
-        // bigram repeat mass over the lowercased token sequence
-        val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-        val n = math.max(toks.length - 1, 0)
-        val counts = new java.util.HashMap[String, Int](n * 2 + 4)
-        var j = 0
-        while (j < n) {
-          counts.merge(toks(j) + " " + toks(j + 1), 1, (a, b) => a + b)
-          j += 1
-        }
-        val dupX = if (n == 0) 0L else 1000L * (n.toLong - counts.size) / n
+        // bigram repeat mass — the shared kernel, so the composed pipeline
+        // can never drift from the standalone repetitionSignals op
+        val (n, distinct, _) = TextAnalysis.bigramStats(TextAnalysis.lowerTokens(text))
+        val dupX = TextAnalysis.dupBigramX1000(n, distinct)
         digest.reset()
         val md5Hex = digest.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString

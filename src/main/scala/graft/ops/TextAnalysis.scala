@@ -147,26 +147,39 @@ object TextAnalysis {
     * formulation would need aggregate-over-transform HOFs, which re-evaluate
     * the token split per element — the measured round-1 trap.)
     */
+  /** Per-doc word-bigram multiset summary: (total, distinct, top count).
+    * Single source of truth for the repeat-mass arithmetic — shared by
+    * [[repetitionSignals]] and the composed curation pass so the standalone
+    * op and the pipeline can never drift apart.
+    */
+  private[ops] def bigramStats(toks: Array[String]): (Long, Long, Long) = {
+    val n = math.max(toks.length - 1, 0)
+    val counts = new java.util.HashMap[String, Int](n * 2 + 4)
+    var i = 0
+    var top = 0
+    while (i < n) {
+      val c = counts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    (n.toLong, counts.size.toLong, top.toLong)
+  }
+
+  /** floor(1000 · (n - distinct) / n) — the bigram repeat mass. */
+  private[ops] def dupBigramX1000(n: Long, distinct: Long): Long =
+    if (n == 0) 0L else 1000L * (n - distinct) / n
+
+  /** Lowercased whitespace tokens of the SQL-trimmed text. */
+  private[ops] def lowerTokens(text: String): Array[String] =
+    sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
   def repetitionSignals(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
-        val toks = sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-        val n = math.max(toks.length - 1, 0)
-        val counts = new java.util.HashMap[String, Int](n * 2 + 4)
-        var i = 0
-        var top = 0
-        while (i < n) {
-          val bg = toks(i) + " " + toks(i + 1)
-          val c = counts.merge(bg, 1, (a, b) => a + b)
-          if (c > top) top = c
-          i += 1
-        }
-        val nL = n.toLong
-        val distinct = counts.size.toLong
-        val dupX = if (n == 0) 0L else 1000L * (nL - distinct) / nL
-        val topX = if (n == 0) 0L else 1000L * top / nL
-        (id, nL, distinct, top.toLong, dupX, topX)
+        val (n, distinct, top) = bigramStats(lowerTokens(text))
+        val topX = if (n == 0) 0L else 1000L * top / n
+        (id, n, distinct, top, dupBigramX1000(n, distinct), topX)
       }
     }.toDF("doc_id", "n_bigrams", "distinct_bigrams", "top_bigram_count",
       "dup_bigram_x1000", "top_bigram_x1000")

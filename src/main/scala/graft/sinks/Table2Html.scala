@@ -21,12 +21,47 @@ object Table2Html {
     else if (reader.startsWith("hybrid-")) "☯️"
     else "🤖"
 
+  /** Python str() over a parsed-JSON value — the reference renders every
+    * flattened value with str(v) (__main__.py:90-92,103-106), so numbers
+    * normalize through Python's int/float ("4.50" → "4.5", "1e3" →
+    * "1000.0") and nested containers render as Python reprs
+    * ("{'curator': 'alice'}"), not as JSON.
+    */
   private def jStr(v: JVal): String = v match {
     case JStr(s) => s
-    case JNum(raw) => raw
+    case JNum(raw) => pyNum(raw)
     case JBool(b) => if (b) "True" else "False"
     case JNull => "None"
-    case other => other.render
+    case other => pyRepr(other)
+  }
+
+  /** json.load gives int for integer literals, float otherwise. */
+  private def pyNum(raw: String): String =
+    if (raw.matches("-?\\d+")) raw
+    else graft.core.Text.pyFloatRepr(raw.toDouble)
+
+  /** Python repr() for values nested inside containers (strings quoted). */
+  private def pyRepr(v: JVal): String = v match {
+    case JStr(s) => pyStrRepr(s)
+    case JNum(raw) => pyNum(raw)
+    case JBool(b) => if (b) "True" else "False"
+    case JNull => "None"
+    case JObj(fields) =>
+      fields.map { case (k, x) => s"${pyStrRepr(k)}: ${pyRepr(x)}" }
+        .mkString("{", ", ", "}")
+    case JArr(items) => items.map(pyRepr).mkString("[", ", ", "]")
+  }
+
+  /** Python string repr: single quotes, double quotes only when the string
+    * contains ' but no "; backslashes and the delimiter escaped.
+    */
+  private def pyStrRepr(s: String): String = {
+    val hasSingle = s.contains('\'')
+    val quote = if (hasSingle && !s.contains('"')) '"' else '\''
+    val body = s.replace("\\", "\\\\")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val escaped = if (quote == '\'') body.replace("'", "\\'") else body
+    s"$quote$escaped$quote"
   }
 
   /** __main__.py:45-50 */
@@ -390,7 +425,41 @@ object Table2Html {
     }
 
     html += "</main>"
+    html += s"<script>$TocJs</script>"
     html += "</body></html>"
     html.result().mkString("\n")
   }
+
+  /** __main__.py:335-362 _TOC_JS — TOC scroll tracking: marks the last
+    * heading above the viewport as `.active` and keeps it scrolled into the
+    * sidebar (the `#toc a.active` CSS rule's driver).
+    */
+  private val TocJs: String =
+    """(function () {
+      |  var entries = Array.from(document.querySelectorAll('#toc a')).map(function (a) {
+      |    var id = a.getAttribute('href').slice(1);
+      |    return { el: document.getElementById(id), a: a };
+      |  }).filter(function (x) { return x.el; });
+      |
+      |  function update() {
+      |    var scrollY = window.scrollY + 8;
+      |    var active = null;
+      |    for (var i = 0; i < entries.length; i++) {
+      |      if (entries[i].el.getBoundingClientRect().top + window.scrollY <= scrollY) {
+      |        active = entries[i];
+      |      } else {
+      |        break;
+      |      }
+      |    }
+      |    entries.forEach(function (e) { e.a.classList.remove('active'); });
+      |    if (active) {
+      |      active.a.classList.add('active');
+      |      active.a.scrollIntoView({ block: 'nearest' });
+      |    }
+      |  }
+      |
+      |  window.addEventListener('scroll', update, { passive: true });
+      |  update();
+      |}());
+      |""".stripMargin
 }

@@ -78,22 +78,40 @@ object StreamingExtract {
     * [[dedupStreamTtl]], which bounds state to the documents seen inside a
     * TTL window via event-time timeouts.
     */
+  /** Hot-path MD5 hex: digest reused per partition, no per-byte boxing —
+    * the keying function runs once per document of an infinite stream.
+    */
+  private def md5Hex(md: java.security.MessageDigest, text: String): String = {
+    md.reset()
+    val d = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def dedupStream(spark: SparkSession, docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
-      .groupByKey { case (_, text) =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) => (md5Hex(md, text), id, text) }
       }
+      .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            Iterator.single(rows.minBy(_._1))
+            val first = rows.minBy(_._2)
+            Iterator.single((first._2, first._3))
           }
       }
   }
@@ -120,17 +138,17 @@ object StreamingExtract {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
-      .toDF("doc_id", "text", "ts")
-      .withWatermark("ts", watermarkDelay)
-      .as[(Long, String, java.sql.Timestamp)]
-      .groupByKey { case (_, text, _) =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, ts) => (md5Hex(md, text), id, text, ts) }
       }
+      .toDF("content_md5", "doc_id", "text", "ts")
+      .withWatermark("ts", watermarkDelay) // after the hash map, so the event-time tag survives
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)], state: GroupState[Boolean]) =>
+        (_: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -140,12 +158,12 @@ object StreamingExtract {
               if (state.exists) Iterator.empty[(Long, String)]
               else {
                 state.update(true)
-                val first = batch.minBy(_._1)
-                Iterator.single((first._1, first._2))
+                val first = batch.minBy(_._2)
+                Iterator.single((first._2, first._3))
               }
             // extend the eviction clock past this batch's latest sighting;
             // must stay ahead of the current watermark or Spark rejects it
-            val maxTs = batch.map(_._3.getTime).max
+            val maxTs = batch.map(_._4.getTime).max
             state.setTimeoutTimestamp(math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs + 1))
             out
           }

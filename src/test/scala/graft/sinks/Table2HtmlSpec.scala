@@ -159,6 +159,31 @@ class Table2HtmlSpec extends AnyFunSuite {
     assert(out.contains("</html>"))
   }
 
+  test("build_html appends the TOC scroll-tracking script (__main__.py:335-362,445)") {
+    val out = buildHtml(emptyObj, emptyObj, Nil)
+    val scriptAt = out.indexOf("<script>(function () {")
+    assert(scriptAt >= 0, "TOC script missing")
+    assert(scriptAt > out.indexOf("</main>"))
+    assert(out.contains("window.addEventListener('scroll', update, { passive: true });"))
+    assert(out.contains("e.a.classList.remove('active')"))
+  }
+
+  test("flattened values render via Python str(): numbers normalize, nested reprs") {
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    flattenDict(JObj(Vector(
+      "a" -> JNum("4.50"),
+      "b" -> JNum("1e3"),
+      "c" -> JNum("42"),
+      "lst" -> JArr(Vector(
+        JObj(Vector("curator" -> JStr("alice"))),
+        JNum("2.0"), JBool(true), JNull)))), "", rows)
+    assert(rows.toList == List(
+      "a" -> "4.5",
+      "b" -> "1000.0",
+      "c" -> "42",
+      "lst" -> "{'curator': 'alice'}, 2.0, True, None"))
+  }
+
   test("build_html: no metadata section when empty") {
     assert(!buildHtml(emptyObj, emptyObj, Nil).contains("<h2>Metadata</h2>"))
   }
