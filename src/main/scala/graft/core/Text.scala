@@ -46,6 +46,22 @@ object Text {
     if (i == 0 && j == s.length) s else s.substring(i, j)
   }
 
+  /** CPython float()'s own whitespace tolerance: str.strip()'s set MINUS
+    * U+001C..U+001F (verified against CPython 3.12: '\x1c'.isspace() is
+    * True but float('\x1c7') raises — the decimal-transform table float()
+    * strips with excludes the information separators).
+    */
+  @inline private def pyFloatSpace(c: Char): Boolean =
+    pyIsSpace(c) && !(c >= 0x1c && c <= 0x1f)
+
+  private def pyFloatStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && pyFloatSpace(s.charAt(i))) i += 1
+    while (j > i && pyFloatSpace(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
   /** `re.sub(r"\s+", " ", s.strip())` with Python's Unicode \s semantics. */
   def collapseWhitespace(s: String): String = {
     val t = pyStrip(s)
@@ -159,7 +175,7 @@ object Text {
     * (schema.py:44-49, e.g. "1e3", " 2 ", "nan" are numeric names).
     */
   def pythonFloatParses(s: String): Boolean = {
-    val t = pyStrip(s)
+    val t = pyFloatStrip(s)
     t.nonEmpty && FloatRe.matches(t)
   }
 
@@ -168,7 +184,7 @@ object Text {
 
   /** Parse with Python float() semantics; None when float() would raise. */
   def pythonParseFloat(s: String): Option[Double] = {
-    val t = pyStrip(s)
+    val t = pyFloatStrip(s)
     if (t.isEmpty || !FloatRe.matches(t)) None
     else {
       val cleaned = t.replace("_", "")

@@ -220,10 +220,7 @@ object Stats {
     * while None), per-paper blocks in the given order, optional sorted
     * unique-column list.
     */
-  def formatStats(
-      global: GlobalStatsRow,
-      perPaper: Seq[PaperStatsRow],
-      columns: Option[Map[String, String]] = None): String = {
+  private def globalLines(global: GlobalStatsRow): Seq[String] = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     lines += "Global Stats:"
     lines += s"  Papers: ${global.papers}"
@@ -238,25 +235,63 @@ object Stats {
       lines += f"  Global shared values percentage: $p%.2f%%")
     lines += ""
     lines += "Per-Paper Stats:"
-    perPaper.foreach { ps =>
-      val (agree, empty, shared) = paperPercentages(ps)
-      lines += s"- ${ps.doc_id}:"
-      lines += s"    Tables: ${ps.tables}"
-      lines += s"    Fragments: ${ps.fragments}"
-      lines += s"    Rows: ${ps.rows}"
-      lines += s"    Unique rows: ${ps.unique_rows}"
-      lines += s"    Columns: ${ps.columns}"
-      lines += s"    Rows with agreement > 1: ${ps.rows_with_agreement}"
-      agree.foreach(p => lines += f"    Agreement percentage: $p%.2f%%")
-      empty.foreach(p => lines += f"    Empty rows percentage: $p%.2f%%")
-      shared.foreach(p => lines += f"    Shared values percentage: $p%.2f%%")
-    }
-    columns.foreach { cols =>
-      lines += ""
-      lines += "Unique Columns:"
-      cols.toSeq.sortBy(_._1).foreach { case (n, t) => lines += s"$n:$t" }
-    }
-    lines.mkString("\n")
+    lines.toSeq
+  }
+
+  private def paperBlock(ps: PaperStatsRow): Seq[String] = {
+    val (agree, empty, shared) = paperPercentages(ps)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"- ${ps.doc_id}:"
+    lines += s"    Tables: ${ps.tables}"
+    lines += s"    Fragments: ${ps.fragments}"
+    lines += s"    Rows: ${ps.rows}"
+    lines += s"    Unique rows: ${ps.unique_rows}"
+    lines += s"    Columns: ${ps.columns}"
+    lines += s"    Rows with agreement > 1: ${ps.rows_with_agreement}"
+    agree.foreach(p => lines += f"    Agreement percentage: $p%.2f%%")
+    empty.foreach(p => lines += f"    Empty rows percentage: $p%.2f%%")
+    shared.foreach(p => lines += f"    Shared values percentage: $p%.2f%%")
+    lines.toSeq
+  }
+
+  private def columnLines(cols: Map[String, String]): Seq[String] =
+    "" +: "Unique Columns:" +: cols.toSeq.sortBy(_._1).map { case (n, t) => s"$n:$t" }
+
+  def formatStats(
+      global: GlobalStatsRow,
+      perPaper: Seq[PaperStatsRow],
+      columns: Option[Map[String, String]] = None): String =
+    (globalLines(global) ++ perPaper.flatMap(paperBlock) ++
+      columns.toSeq.flatMap(columnLines)).mkString("\n")
+
+  /** The CLI report AT CORPUS SCALE: global counters from one distributed
+    * aggregation, per-paper blocks streamed through `toLocalIterator` after
+    * a distributed sort — driver memory stays one row at a time regardless
+    * of paper count (the reference materializes every paper in an
+    * OrderedDict, fine for a directory, not for 10^12 docs).
+    */
+  def writeReport(
+      spark: SparkSession,
+      perDoc: Dataset[PaperStatsRow],
+      writer: java.io.Writer,
+      sortMode: String = "none",
+      columns: Option[Map[String, String]] = None): Unit = {
+    import spark.implicits._
+    val g = globalStats(perDoc.toDF).collect().head
+    val global = GlobalStatsRow(
+      papers = g.getAs[Long]("papers"),
+      tables = g.getAs[Long]("tables"),
+      fragments = g.getAs[Long]("fragments"),
+      rows = g.getAs[Long]("rows"),
+      unique_rows = g.getAs[Long]("unique_rows"),
+      rows_with_agreement = g.getAs[Long]("rows_with_agreement"),
+      rows_in_shared_groups = g.getAs[Long]("rows_in_shared_groups"),
+      rows_with_shared_values = g.getAs[Long]("rows_with_shared_values"))
+    globalLines(global).foreach(l => writer.write(l + "\n"))
+    val ordered = sortStats(perDoc.toDF, sortMode).as[PaperStatsRow]
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) paperBlock(it.next()).foreach(l => writer.write(l + "\n"))
+    columns.foreach(cols => columnLines(cols).foreach(l => writer.write(l + "\n")))
   }
 
   /** CPython int() literal acceptance: sign + decimal digits (any Unicode

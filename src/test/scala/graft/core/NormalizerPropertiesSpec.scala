@@ -65,9 +65,26 @@ class NormalizerPropertiesSpec extends AnyFunSuite {
   }
 
   test("semantic classification == python float-parse failure") {
+    // NOT s.trim: Java trim strips U+0001..U+001F, which Python float()
+    // does not treat as whitespace — "\\u0001 7" (control+digit) is semantic (float() raises)
+    // but java-trims to the parseable "7". pythonParseFloat pyStrips
+    // internally, matching CPython.
     check(Prop.forAll(weirdString) { s =>
-      Text.isSemanticColumn(s) == Text.pythonParseFloat(s.trim).isEmpty
+      Text.isSemanticColumn(s) == Text.pythonParseFloat(s).isEmpty
     })
+    // the java-trim counterexample stays pinned
+    assert(Text.isSemanticColumn("\u00017"))
+    assert(Text.pythonParseFloat("\u00017").isEmpty)
+    assert(Text.pythonParseFloat("\u00017".trim).isDefined)
+    // and the str.strip()-vs-float() divergence: '\\u001c'.isspace() is
+    // True in CPython, yet float('\\u001c7') raises -- so the name is
+    // SEMANTIC even though pyStrip removes the separator (verified on 3.12)
+    assert(Text.pyStrip("\u001c7") == "7")
+    assert(Text.isSemanticColumn("\u001c7"))
+    assert(Text.pythonParseFloat("\u001c7").isEmpty)
+    // float()'s tolerance for real unicode whitespace is kept
+    assert(Text.pythonParseFloat("\u00a07").contains(7.0))
+    assert(Text.pythonParseFloat("\u30007 ").contains(7.0))
   }
 
   test("polyHash lands in [0, 2^31-1) and is stable") {

@@ -310,6 +310,24 @@ class StatsEdgeSpec extends AnyFunSuite {
     assert(!Stats.formatStats(emptyGlobal, Nil).contains("Global shared values percentage"))
   }
 
+  test("writeReport streams the same text formatStats builds, in sorted order") {
+    val spark = graft.SharedSpark.spark
+    import spark.implicits._
+    val a = Stats.paperStats("a", paper(
+      """{"page": 1, "rows": [{"family": "x", "agreement_level_": 2}]}"""))
+    val b = Stats.paperStats("b", TableDoc.fromJsonString(
+      """{"citation": null, "tables": [
+        |  {"page": 1, "rows": [{"family": "y"}]},
+        |  {"page": 2, "rows": [{"family": "z"}]}]}""".stripMargin))
+    val perDoc = Seq(a, b)
+    val ds = spark.createDataset(perDoc)
+    val w = new java.io.StringWriter()
+    Stats.writeReport(spark, ds, w, sortMode = "desc")
+    // desc by tables: b (2 tables) before a (1 table)
+    val want = Stats.formatStats(GlobalStatsRow.accumulate(perDoc), Seq(b, a)) + "\n"
+    assert(w.toString == want)
+  }
+
   test("format_stats per-paper block carries counters and percentages") {
     val s = stats(
       """{"page": 1, "rows": [
