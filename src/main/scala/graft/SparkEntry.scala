@@ -251,6 +251,26 @@ object Queries {
     "q_repetition_signals" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(s, docs(s, dir))),
 
+    // URL canonicalization (the step before crawl dedup): messy variants —
+    // upper-case scheme/host, default ports, tracking params, unsorted
+    // queries, trailing slashes, fragments — are synthesized from doc_id;
+    // the oracle hand-derives the expected canonical form per variant, so
+    // the engine's regexp/HOF canonicalizer is checked against an
+    // INDEPENDENT construction, not a mirrored implementation
+    "q_url_canonical" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val messy = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Example.COM:80/Doc/"), idStr, lit("/?utm_source=feed&b=2&a=1#top")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://mirror.example.org:443/doc/"), idStr))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://Mirror.Example.org/doc/"), idStr, lit("?z=9&a=1&gclid=abc")))
+        .otherwise(concat(lit("http://example.com/doc/"), idStr, lit("///#frag")))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.UrlOps.canonicalizeUrl(messy).as("canonical_url"),
+        graft.ops.UrlOps.urlHost(messy).as("host"))
+    }),
+
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
@@ -686,6 +706,18 @@ object Queries {
     "q_exact_dedup_md5" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // per-variant hand-derived canonical forms — independent of the
+    // engine's regex implementation
+    "q_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://example.com/Doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://mirror.example.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'https://mirror.example.org/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&z=9'
+        |    ELSE 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) END AS canonical_url,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'mirror.example.org'
+        |       ELSE 'example.com' END AS host
+        |FROM documents""".stripMargin,
     // the same composition, recomputed stage by stage: planted twins
     // (UNION ALL), the quality predicate, the bigram repeat-mass gate,
     // then min-doc_id-per-md5 keeper selection

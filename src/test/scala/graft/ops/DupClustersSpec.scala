@@ -111,6 +111,27 @@ class DupClustersSpec extends AnyFunSuite {
     assert(kept.forall(_ < 2000000))
   }
 
+  test("URL canonicalization: case, ports, tracking params, slashes, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/A/B/?utm_source=x&b=2&a=1#f", "http://example.com/A/B?a=1&b=2"),
+      ("https://host.org:443/x", "https://host.org/x"),
+      ("https://host.org:8443/x", "https://host.org:8443/x"), // non-default port kept
+      ("http://h.io", "http://h.io/"),                         // empty path -> /
+      ("http://h.io///", "http://h.io/"),
+      ("https://h.io/p?gclid=1&fbclid=2&ref=3&utm_medium=m", "https://h.io/p"),
+      ("https://h.io/p?z=1&y=2&x=3", "https://h.io/p?x=3&y=2&z=1"),
+      ("http://H.io/P#only-fragment", "http://h.io/P"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlOps.canonicalizeUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+    // host extraction ignores port and case
+    val h = Seq("HTTPS://Ex.COM:8443/p").toDF("url")
+      .select(UrlOps.urlHost(col("url"))).collect().head.getString(0)
+    assert(h == "ex.com")
+  }
+
   test("repetition signals match a per-doc reference count") {
     import spark.implicits._
     val sample = Seq(
