@@ -384,6 +384,12 @@ object Queries {
     // ----- training-data ops: multimodal plumbing (stubbed codec)
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
 
+    // REAL image decode: genuine P6 PPM payloads built from doc_id, parsed
+    // by a real header+plane decoder; the oracle PREDICTS the decode output
+    // from the generator arithmetic (dims, modular pixel sum) — the decoder
+    // must agree with a party that never parses the bytes
+    "q_multimodal_ppm" -> ((s, dir) => Multimodal.ppmMetaQuery(s, dir)),
+
     // deterministic skew salting: per-host stats where one synthetic host
     // holds ~33% of rows; two-phase salted agg, result salt-invariant
     "q_host_stats_salted" -> ((s, dir) => {
@@ -899,6 +905,20 @@ object Queries {
         |  CASE WHEN octet_length(encode(text)) % 3 = 2
         |       THEN octet_length(encode(text)) % 30 + 1 ELSE 1 END AS frames
         |FROM documents""".stripMargin,
+    // the decode PREDICTION: dims from doc_id arithmetic, pixel sum via the
+    // modular series sum_{i<3wh} (doc_id + i) % 256 — no byte parsing here
+    "q_multimodal_ppm" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
+        |         CAST(3 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(generate_series(0, 3 * width * height - 1)) AS i
+        |  FROM dims)
+        |SELECT doc_id, width, height, 255 AS maxval,
+        |  CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
     // NOTE: every aggregate sum() below is wrapped CAST(sum(...) AS BIGINT):
     // DuckDB widens sum() to HUGEINT, which pandas renders as float64
     // ("6.0" vs Spark's "6") and the driver's value hash never matches.

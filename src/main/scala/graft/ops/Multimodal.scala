@@ -76,4 +76,101 @@ object Multimodal {
     */
   def mediaMetaQuery(spark: SparkSession, sfDir: String): DataFrame =
     decodeBatched(spark, mediaTable(spark, sfDir)).toDF()
+
+  // ---- REAL image decode path (P6 PPM — an actual binary image format
+  // decodable in pure JVM, no codec libraries needed). The stub above
+  // remains the seam for formats whose codecs don't ship in this container;
+  // this path proves the plumbing end-to-end with a real parser.
+
+  final case class PpmMeta(doc_id: Long, width: Int, height: Int, maxval: Int, pixel_sum: Long)
+
+  /** Deterministic P6 PPM payload: real header (`P6\n<w> <h>\n255\n`, with
+    * a comment line for parser realism) + raw RGB bytes, dimensions and
+    * pixels pure functions of doc_id so an independent engine can predict
+    * the decode output without parsing bytes.
+    */
+  def ppmPayload(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 3 + (docId % 7).toInt
+    val header = s"P6\n# synthetic $docId\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val px = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((docId + i) % 256).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  /** REAL P6 decoder: parses magic, comments, dimensions, maxval, then the
+    * raw RGB plane. None on malformed input (bad magic, short data,
+    * non-numeric header fields).
+    */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    var pos = 0
+    def skipSpaceAndComments(): Unit = {
+      var go = true
+      while (go && pos < payload.length) {
+        val c = payload(pos)
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSpaceAndComments()
+      val start = pos
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(payload, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII).toInt)
+    }
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') None
+    else {
+      pos = 2
+      for {
+        w <- readInt()
+        h <- readInt()
+        maxval <- readInt()
+        data <- {
+          pos += 1 // exactly one whitespace byte after maxval per spec
+          val need = 3 * w * h
+          if (pos + need <= payload.length) Some((pos, need)) else None
+        }
+      } yield {
+        val (off, need) = data
+        var sum = 0L
+        var i = 0
+        while (i < need) {
+          sum += payload(off + i) & 0xff
+          i += 1
+        }
+        (w, h, maxval, sum)
+      }
+    }
+  }
+
+  /** Synthetic PPM media table (typed narrow map — payload never shuffles). */
+  def ppmTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.DfCache.get(spark, s"$sfDir/documents.parquet")(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, ppmPayload(id)))
+  }
+
+  /** Decode the PPM table with the REAL parser (batched like decodeBatched). */
+  def ppmMetaQuery(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodePpm(m.payload).map { case (w, h, maxval, sum) =>
+            PpmMeta(m.doc_id, w, h, maxval, sum)
+          }
+        }
+      }
+    }.toDF()
+  }
 }

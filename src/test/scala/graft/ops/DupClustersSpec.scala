@@ -132,6 +132,25 @@ class DupClustersSpec extends AnyFunSuite {
     assert(h == "ex.com")
   }
 
+  test("PPM decode: real parser round-trips the encoder and rejects malformed input") {
+    // hand-built 2x1 P6 image, independent of the encoder
+    val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60))
+    assert(Multimodal.decodePpm(hand).contains((2, 1, 255, 210L)))
+    // comment lines in the header are skipped (real PPM feature)
+    val withComment = ("P6\n# a comment\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    assert(Multimodal.decodePpm(withComment).contains((1, 1, 255, 6L)))
+    // encoder -> decoder round trip matches the closed-form pixel sum
+    val id = 37L
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 7).toInt
+    val wantSum = (0 until 3 * w * h).map(i => (id + i) % 256).sum
+    assert(Multimodal.decodePpm(Multimodal.ppmPayload(id)).contains((w, h, 255, wantSum)))
+    // malformed: wrong magic, truncated plane, non-numeric dims
+    assert(Multimodal.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm(("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))).isEmpty)
+    assert(Multimodal.decodePpm("P6\nx y\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("repetition signals match a per-doc reference count") {
     import spark.implicits._
     val sample = Seq(
