@@ -302,6 +302,21 @@ object Queries {
     "q_exact_dedup_md5" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), col("text"), col("doc_id"))),
 
+    // append-mode dedup against a hash ledger: docs with doc_id < 250 are
+    // the already-accepted corpus (the ledger holds ONLY their md5s);
+    // the incoming batch is the rest plus exact twins of ledger docs —
+    // twins must be rejected by the ledger anti-join, fresh docs accepted
+    // with the in-batch min-id rule
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ledger = d.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("content_md5"))
+      val incoming = d.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      Dedup.incrementalExactDedup(incoming, ledger)
+    }),
+
     // connected components over a deterministic arithmetic pair graph
     // (consecutive-id chains broken at every 13th id, plus skip links from
     // every 100th id that re-merge two chains across a break — component
@@ -766,6 +781,19 @@ object Queries {
         |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
         |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
         |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH ledger AS (
+        |  SELECT md5(text) AS content_md5 FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 5 = 0),
+        |batch AS (
+        |  SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+        |  FROM incoming GROUP BY md5(text))
+        |SELECT b.content_md5, b.doc_id FROM batch b
+        |WHERE b.content_md5 NOT IN (SELECT content_md5 FROM ledger)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

@@ -256,6 +256,23 @@ object Dedup {
           x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
   }
 
+  /** Incremental (append-mode) exact dedup — the at-scale pattern for a
+    * growing crawl: a persistent LEDGER of content hashes already accepted
+    * is joined against, so each new batch costs O(batch) + one hash
+    * anti-join instead of re-deduplicating the whole corpus. Returns the
+    * accepted rows of `incoming` (hash not in ledger, minimum key wins
+    * within the batch); union the accepted hashes back into the ledger
+    * afterwards. The ledger side carries ONLY hashes — never text — so the
+    * join shuffles 16-byte digests at any corpus size.
+    */
+  def incrementalExactDedup(incoming: DataFrame, ledger: DataFrame): DataFrame = {
+    val inBatchKeep = incoming
+      .withColumn("content_md5", md5(col("text")))
+      .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
+    inBatchKeep.join(
+      ledger.select(col("content_md5")), Seq("content_md5"), "left_anti")
+  }
+
   /** Deterministic near-duplicate corpus: every doc with doc_id % 10 == 0
     * gets a twin (id + 1000000) whose text drops the last 2 tokens — used
     * by the dedup demo queries so candidate sets are non-empty.

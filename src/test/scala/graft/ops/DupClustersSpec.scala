@@ -132,6 +132,20 @@ class DupClustersSpec extends AnyFunSuite {
     assert(h == "ex.com")
   }
 
+  test("incremental dedup: ledger rejects known hashes, batch keeps min id") {
+    import spark.implicits._
+    val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
+    val incoming = Seq(
+      (10L, "known text"),   // in ledger -> rejected
+      (7L, "fresh text"),    // accepted
+      (3L, "fresh text"),    // in-batch dup -> min id 3 wins
+      (9L, "other fresh"))   // accepted
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(incoming, ledger)
+      .collect().map(_.getLong(1)).sorted
+    assert(kept.toSeq == Seq(3L, 9L))
+  }
+
   test("PPM decode: real parser round-trips the encoder and rejects malformed input") {
     // hand-built 2x1 P6 image, independent of the encoder
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60))
