@@ -418,6 +418,17 @@ object Queries {
     }),
 
     // broadcast dimension join: revenue cents per nation
+    // per-host frequency cap (crawl sampling): at most 10 docs per host,
+    // lowest doc_id first — deterministic under any partitioning; same
+    // synthetic host rule as q_host_stats_salted (mega host + 20 normals)
+    "q_host_cap" -> ((s, dir) => {
+      val host = when(col("doc_id") % 3 === 0, lit("mega.example.org"))
+        .otherwise(concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".example.org")))
+      graft.ops.Salting.capPerHost(
+        docs(s, dir).select(col("doc_id"), host.as("host")),
+        col("host"), col("doc_id"), cap = 10)
+    }),
+
     "q_join_agg_nation" -> ((s, dir) => {
       val o = orders(s, dir)
       val c = customer(s, dir)
@@ -781,6 +792,18 @@ object Queries {
         |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
         |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
         |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+    "q_host_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'mega.example.org'
+        |         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+        |    END AS host
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host,
+        |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, host FROM r WHERE rk <= 10""".stripMargin,
     "q_dedup_incremental" ->
       """WITH ledger AS (
         |  SELECT md5(text) AS content_md5 FROM documents WHERE doc_id < 250),

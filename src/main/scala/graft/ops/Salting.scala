@@ -38,4 +38,18 @@ object Salting {
       .groupBy(col("key"))
       .agg(sum(col("partial_n")).as("n"), sum(col("partial_sum")).as("total"))
   }
+
+  /** Per-host frequency capping — the crawl-sampling step that keeps a
+    * mega-host from dominating the training mix: at most `cap` documents
+    * per host, chosen deterministically (lowest `orderCol` first, so reruns
+    * and repartitions keep the identical sample). One hash-partitioned
+    * window (never global); only (host, order) scalars drive the shuffle.
+    */
+  def capPerHost(df: DataFrame, hostCol: Column, orderCol: Column, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol).orderBy(orderCol.asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cap)
+      .drop("__rank")
+  }
 }

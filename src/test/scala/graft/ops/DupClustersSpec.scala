@@ -132,6 +132,19 @@ class DupClustersSpec extends AnyFunSuite {
     assert(h == "ex.com")
   }
 
+  test("per-host cap keeps the lowest-id docs and is partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq.tabulate(30)(i => (i.toLong, if (i % 2 == 0) "big.org" else s"h${i % 3}.org"))
+      .toDF("doc_id", "host")
+    def run(parts: Int) = Salting.capPerHost(df.repartition(parts), col("host"), col("doc_id"), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val got = run(4)
+    // big.org has ids 0,2,4,... -> keep 0,2,4; h1.org odd ids with i%3==1 -> 1,7,13; h2.org -> 5,11,17
+    assert(got.filter(_._2 == "big.org").map(_._1) == Seq(0L, 2L, 4L))
+    assert(got.filter(_._2 == "h1.org").map(_._1) == Seq(1L, 7L, 13L))
+    assert(got == run(1)) // deterministic under repartitioning
+  }
+
   test("incremental dedup: ledger rejects known hashes, batch keeps min id") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
