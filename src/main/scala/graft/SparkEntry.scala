@@ -417,9 +417,8 @@ object Queries {
         .select(col("key").as("host"), col("n"), col("total").as("total_chars"))
     }),
 
-    // broadcast dimension join: revenue cents per nation
     // per-host frequency cap (crawl sampling): at most 10 docs per host,
-    // lowest doc_id first — deterministic under any partitioning; same
+    // lowest doc_id first — deterministic because doc_id is unique; same
     // synthetic host rule as q_host_stats_salted (mega host + 20 normals)
     "q_host_cap" -> ((s, dir) => {
       val host = when(col("doc_id") % 3 === 0, lit("mega.example.org"))
@@ -429,6 +428,7 @@ object Queries {
         col("host"), col("doc_id"), cap = 10)
     }),
 
+    // broadcast dimension join: revenue cents per nation
     "q_join_agg_nation" -> ((s, dir) => {
       val o = orders(s, dir)
       val c = customer(s, dir)

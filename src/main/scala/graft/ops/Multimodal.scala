@@ -122,7 +122,9 @@ object Multimodal {
       skipSpaceAndComments()
       val start = pos
       while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') pos += 1
-      if (pos == start) None
+      // > 9 digits cannot be a sane dimension/maxval and would overflow
+      // toInt (malformed -> None, never an exception escaping to the task)
+      if (pos == start || pos - start > 9) None
       else Some(new String(payload, start, pos - start,
         java.nio.charset.StandardCharsets.US_ASCII).toInt)
     }
@@ -130,13 +132,17 @@ object Multimodal {
     else {
       pos = 2
       for {
-        w <- readInt()
-        h <- readInt()
-        maxval <- readInt()
+        w <- readInt().filter(_ > 0)
+        h <- readInt().filter(_ > 0)
+        maxval <- readInt().filter(_ > 0)
         data <- {
           pos += 1 // exactly one whitespace byte after maxval per spec
-          val need = 3 * w * h
-          if (pos + need <= payload.length) Some((pos, need)) else None
+          // Long arithmetic: a header claiming huge dims must not overflow
+          // Int into a small/negative byte count and get ACCEPTED
+          val needL = 3L * w * h
+          if (needL <= Int.MaxValue && pos + needL <= payload.length)
+            Some((pos, needL.toInt))
+          else None
         }
       } yield {
         val (off, need) = data

@@ -41,15 +41,22 @@ object Salting {
 
   /** Per-host frequency capping — the crawl-sampling step that keeps a
     * mega-host from dominating the training mix: at most `cap` documents
-    * per host, chosen deterministically (lowest `orderCol` first, so reruns
-    * and repartitions keep the identical sample). One hash-partitioned
-    * window (never global); only (host, order) scalars drive the shuffle.
+    * per host, chosen deterministically (lowest `orderCol` first). One
+    * hash-partitioned window (never global); only (host, order) scalars
+    * drive the shuffle.
+    *
+    * CONTRACT: `orderCol` must be unique within a host (doc id, url) —
+    * row_number breaks ties by partition arrival order, so a tied key
+    * (e.g. a coarse timestamp) would make the kept sample depend on
+    * partitioning. Pass a unique key or a composite
+    * (`struct(ts, doc_id)`-style) tiebreak.
     */
   def capPerHost(df: DataFrame, hostCol: Column, orderCol: Column, cap: Int): DataFrame = {
+    val rank = "__graft_host_cap_rank"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(hostCol).orderBy(orderCol.asc)
-    df.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= cap)
-      .drop("__rank")
+    df.withColumn(rank, row_number().over(w))
+      .filter(col(rank) <= cap)
+      .drop(rank)
   }
 }

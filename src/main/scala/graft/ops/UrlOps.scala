@@ -22,19 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** `scheme://host` with lowercased scheme+host and default port removed. */
+  /** Authority with userinfo DROPPED (credentials never identify a distinct
+    * document — the same page with and without `user:pw@` must canonicalize
+    * identically) and lowercased. IPv6 bracket literals pass through.
+    */
+  private def authorityNorm(url: Column): Column = {
+    val authority = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    lower(regexp_replace(authority, "^[^@/\\[\\]]*@", ""))
+  }
+
+  /** `scheme://host` with lowercased scheme+host, userinfo dropped, and the
+    * scheme's default port removed (`[::1]:80` handled — the pattern only
+    * strips a trailing `:digits`, never bracketed colons).
+    */
   def urlOrigin(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostPort = authorityNorm(url)
     val noDefault = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     concat(scheme, lit("://"), noDefault)
   }
 
-  /** Lowercased host without port. */
+  /** Lowercased host: userinfo and port stripped; IPv6 literals keep their
+    * brackets (`[::1]` — the port pattern cannot match inside them).
+    */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    regexp_replace(authorityNorm(url), ":[0-9]+$", "")
 
   /** Path with trailing-slash runs collapsed; empty path canonicalizes to "/". */
   def urlPathNorm(url: Column): Column = {
@@ -46,8 +60,10 @@ object UrlOps {
   /** Sorted non-tracking query params, or "" when none survive. */
   def urlQueryNorm(url: Column): Column = {
     val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // (=|$): a VALUELESS tracking param ("?utm_source") must also drop, or
+    // the same page with and without it canonicalizes differently
     val params = filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
+      p =!= "" && !p.rlike("^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"))
     when(size(params) > 0, array_join(array_sort(params), "&")).otherwise(lit(""))
   }
 

@@ -35,9 +35,12 @@ object Table2Html {
     case other => pyRepr(other)
   }
 
-  /** json.load gives int for integer literals, float otherwise. */
+  /** json.load gives int for integer literals, float otherwise. JSON
+    * forbids leading zeros and '+', so the only non-canonical int literal
+    * is "-0" (Python: str(json.loads('-0')) == "0").
+    */
   private def pyNum(raw: String): String =
-    if (raw.matches("-?\\d+")) raw
+    if (raw.matches("-?\\d+")) { if (raw == "-0") "0" else raw }
     else graft.core.Text.pyFloatRepr(raw.toDouble)
 
   /** Python repr() for values nested inside containers (strings quoted). */
@@ -53,15 +56,26 @@ object Table2Html {
   }
 
   /** Python string repr: single quotes, double quotes only when the string
-    * contains ' but no "; backslashes and the delimiter escaped.
+    * contains ' but no "; backslashes, the delimiter, and non-printables
+    * escaped (\n \r \t named, other controls + DEL as \xNN like CPython —
+    * raw control bytes must never reach the HTML).
     */
   private def pyStrRepr(s: String): String = {
     val hasSingle = s.contains('\'')
     val quote = if (hasSingle && !s.contains('"')) '"' else '\''
-    val body = s.replace("\\", "\\\\")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-    val escaped = if (quote == '\'') body.replace("'", "\\'") else body
-    s"$quote$escaped$quote"
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append(quote)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c == quote => sb.append('\\').append(quote)
+      case c if c < 0x20 || c == 0x7f => sb.append(f"\\x${c.toInt}%02x")
+      case c => sb.append(c)
+    }
+    sb.append(quote)
+    sb.toString
   }
 
   /** __main__.py:45-50 */

@@ -277,6 +277,24 @@ object Stats {
       sortMode: String = "none",
       columns: Option[Map[String, String]] = None): Unit = {
     import spark.implicits._
+    // two actions (global agg + sorted stream) read perDoc: persist it so
+    // the per-doc stats pass over the corpus runs once, not twice
+    val cached = perDoc.persist()
+    try {
+      writeReportCached(spark, cached, writer, sortMode, columns)
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  private def writeReportCached(
+      spark: SparkSession,
+      perDoc: Dataset[PaperStatsRow],
+      writer: java.io.Writer,
+      sortMode: String,
+      columns: Option[Map[String, String]]): Unit = {
+    import spark.implicits._
     val g = globalStats(perDoc.toDF).collect().head
     val global = GlobalStatsRow(
       papers = g.getAs[Long]("papers"),

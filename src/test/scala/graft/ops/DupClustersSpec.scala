@@ -121,15 +121,18 @@ class DupClustersSpec extends AnyFunSuite {
       ("http://h.io///", "http://h.io/"),
       ("https://h.io/p?gclid=1&fbclid=2&ref=3&utm_medium=m", "https://h.io/p"),
       ("https://h.io/p?z=1&y=2&x=3", "https://h.io/p?x=3&y=2&z=1"),
-      ("http://H.io/P#only-fragment", "http://h.io/P"))
+      ("http://H.io/P#only-fragment", "http://h.io/P"),
+      ("https://h.io/p?utm_source", "https://h.io/p"),            // valueless tracking param
+      ("http://user:pw@Example.com/x", "http://example.com/x"),   // userinfo dropped
+      ("http://[::1]:8080/x", "http://[::1]:8080/x"))             // IPv6 + non-default port
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), UrlOps.canonicalizeUrl(col("url")).as("canon"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
-    // host extraction ignores port and case
-    val h = Seq("HTTPS://Ex.COM:8443/p").toDF("url")
-      .select(UrlOps.urlHost(col("url"))).collect().head.getString(0)
-    assert(h == "ex.com")
+    // host extraction ignores port, case, and userinfo; IPv6 keeps brackets
+    val hosts = Seq("HTTPS://Ex.COM:8443/p", "http://user:pw@Host.org:80/x", "http://[::1]:8080/")
+      .toDF("url").select(UrlOps.urlHost(col("url"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("ex.com", "host.org", "[::1]"))
   }
 
   test("per-host cap keeps the lowest-id docs and is partitioning-invariant") {
@@ -176,6 +179,10 @@ class DupClustersSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodePpm(("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))).isEmpty)
     assert(Multimodal.decodePpm("P6\nx y\n255\n".getBytes("US-ASCII")).isEmpty)
+    // oversized dims must return None, not throw or Int-overflow into accept
+    assert(Multimodal.decodePpm("P6\n99999999999 1\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n100000 100000\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n0 5\n255\n ".getBytes("US-ASCII")).isEmpty)
   }
 
   test("repetition signals match a per-doc reference count") {

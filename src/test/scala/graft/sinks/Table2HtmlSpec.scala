@@ -182,6 +182,14 @@ class Table2HtmlSpec extends AnyFunSuite {
       "b" -> "1000.0",
       "c" -> "42",
       "lst" -> "{'curator': 'alice'}, 2.0, True, None"))
+    // Python int normalization of the one non-canonical JSON int literal;
+    // str() of a bare list string stays raw (reference semantics), while a
+    // string nested inside a dict renders via repr with \xNN escaping
+    val more = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    flattenDict(JObj(Vector(
+      "z" -> JNum("-0"),
+      "ctl" -> JArr(Vector(JObj(Vector("k" -> JStr("a\u0000b"))))))), "", more)
+    assert(more.toList == List("z" -> "0", "ctl" -> "{'k': 'a\\x00b'}"))
   }
 
   test("build_html: no metadata section when empty") {
