@@ -85,6 +85,19 @@ final case class ExtractSettings(
     pageRange: Option[(Int, Int)] = None,
     mapping: Option[TablesMapping] = None)
 
+/** C12 `PATH:FROM:TO` page-range input parsing — reference parity with
+  * /root/reference/src/paper2table/page_range.py:6-14: 1-indexed inclusive
+  * range, a lone `:N` or non-integer suffix stays part of the path.
+  */
+object PageRange {
+  private val RangeRe = "^(.+):(\\d+):(\\d+)$".r
+
+  def parse(path: String): (String, Option[(Int, Int)]) = path match {
+    case RangeRe(clean, from, to) => (clean, Some((from.toInt, to.toInt)))
+    case _ => (path, None)
+  }
+}
+
 /** Main-content + table-region extraction over one HTML page.
   *
   * Capability transfer from the reference's PDF readers (SURVEY.md §7.1):
