@@ -59,6 +59,39 @@ case class Transliterate(child: Expression) extends GraftStringExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** `spark.sql.extensions`-style injector (SURVEY.md §7.3 ladder: whole-
+  * session registration without touching application code):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * }}}
+  *
+  * registers every engine expression in the session's FunctionRegistry at
+  * build time, so pure-SQL users get `graft_normalize_str` etc. with native
+  * codegen — no UDF jars, no per-notebook registration calls.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftStringExpression].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_normalize_str"),
+      info("graft_normalize_str", "_FUNC_(str) - reference normalize_str"),
+      (es: Seq[Expression]) => NormalizeStr(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_normalize_column_name"),
+      info("graft_normalize_column_name", "_FUNC_(str) - reference normalize_column_name"),
+      (es: Seq[Expression]) => NormalizeColumnName(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_normalize_column_value"),
+      info("graft_normalize_column_value", "_FUNC_(str) - reference normalize_column_value"),
+      (es: Seq[Expression]) => NormalizeColumnValue(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_transliterate"),
+      info("graft_transliterate", "_FUNC_(str) - unidecode-subset transliteration"),
+      (es: Seq[Expression]) => Transliterate(es.head)))
+  }
+}
+
 /** Static call targets for generated code (stable Java-visible names). */
 object GraftFunctions {
   def normalizeStr(s: String): String = Text.normalizeStr(s)

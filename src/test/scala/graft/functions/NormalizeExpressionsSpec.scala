@@ -44,6 +44,34 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
     assert(r.head.getString(0) == "estimated_population_2")
   }
 
+  test("GraftExtensions injects the functions into a freshly-built session") {
+    import org.apache.spark.sql.SparkSession
+    // extensions apply at SparkSession BUILD time. `spark.sql.extensions`
+    // is a STATIC conf — honored only for the FIRST session of a context
+    // (the spark-submit --conf path) — so in-JVM the builder's
+    // withExtensions hook is the deterministic equivalent: same
+    // GraftExtensions class, same injection point.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // normalize_str folds dashes + collapses whitespace but does NOT
+      // lowercase (that's normalize_column_value)
+      val r = s2.sql("SELECT graft_normalize_str('  Perez–Vílchez  2020 ') AS n").collect()
+      assert(r.head.getString(0) == "Perez-Vílchez 2020")
+      val d = s2.sql("DESCRIBE FUNCTION graft_transliterate").collect().map(_.getString(0)).mkString("\n")
+      assert(d.contains("graft_transliterate"))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("expression stays inside WholeStageCodegen (no UDF fallback)") {
     // needs a real scan: literal inputs get constant-folded to a
     // LocalTableScan (which itself shows the expression is optimizer-native)
