@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SharedSpark
+
+class WarcSourceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def record(recType: String, uri: String, date: String, payload: Array[Byte]): Array[Byte] = {
+    val header =
+      s"WARC/1.0\r\n" +
+        s"WARC-Type: $recType\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Record-ID: <urn:uuid:test-$recType>\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+    header.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpResponse(body: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body).getBytes(UTF_8)
+
+  private def writeWarc(dir: String, name: String, records: Array[Byte]*): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, records.flatten.toArray)
+    p.toString
+  }
+
+  private val html1 = "<html><body><p>alpha page</p></body></html>"
+  private val html2 = "<html><body><table><tr><td>x</td></tr></table></body></html>"
+
+  test("reads response and resource records, skips requests, strips HTTP envelope") {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    writeWarc(dir, "a.warc",
+      record("warcinfo", "", "2025-01-01T00:00:00Z", "software: test".getBytes(UTF_8)),
+      record("request", "https://ex.org/1", "2025-01-01T00:00:01Z",
+        "GET /1 HTTP/1.1\r\n\r\n".getBytes(UTF_8)),
+      record("response", "https://ex.org/1", "2025-01-01T00:00:01Z", httpResponse(html1)),
+      record("resource", "https://ex.org/2", "2025-01-01T00:00:02Z", html2.getBytes(UTF_8)))
+    val df = spark.read.format("warc").load(dir)
+    assert(df.schema == WarcSource.Schema)
+    val rows = df.orderBy("url").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "https://ex.org/1")
+    assert(new String(rows(0).getAs[Array[Byte]]("html"), UTF_8) == html1) // envelope stripped
+    assert(rows(0).getTimestamp(1).toInstant.toString == "2025-01-01T00:00:01Z")
+    assert(new String(rows(1).getAs[Array[Byte]]("html"), UTF_8) == html2) // resource passthrough
+  }
+
+  test("one partition per file; multi-file directory reads in parallel") {
+    val dir = Files.createTempDirectory("graft-warc-multi").toString
+    (0 until 3).foreach { i =>
+      writeWarc(dir, s"part-$i.warc",
+        record("response", s"https://ex.org/f$i", "2025-01-01T00:00:00Z", httpResponse(html1)))
+    }
+    val df = spark.read.format("warc").load(dir)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3)
+  }
+
+  test("WARC rows feed the extraction pipeline end to end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-e2e").toString
+    writeWarc(dir, "p.warc",
+      record("response", "https://ex.org/t", "2025-01-01T00:00:00Z", httpResponse(html2)))
+    val pages = spark.read.format("warc").load(dir)
+      .select(col("url"), col("warc_ts"),
+        col("html"), lit("").as("text"), lit("en").as("lang"))
+      .as[graft.pipeline.Page]
+    val out = graft.pipeline.ExtractJob.extract(spark, pages).collect()
+    assert(out.length == 1)
+    assert(out.head.url == "https://ex.org/t")
+    assert(out.head.n_tables == 1)
+  }
+
+  test("malformed input: truncated record fails loudly, empty file yields no rows") {
+    val dir = Files.createTempDirectory("graft-warc-bad").toString
+    Files.write(Paths.get(dir, "empty.warc"), Array.emptyByteArray)
+    assert(spark.read.format("warc").load(s"$dir/empty.warc").count() == 0)
+    val bad = record("response", "https://ex.org/x", "2025-01-01T00:00:00Z", httpResponse(html1))
+      .dropRight(20) // cut into the payload
+    Files.write(Paths.get(dir, "trunc.warc"), bad)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(s"$dir/trunc.warc").count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("record parser: header map, payload bytes, ISO date micros") {
+    val in = new java.io.ByteArrayInputStream(
+      record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
+    val Some((headers, payload)) = WarcParse.readRecord(in)
+    assert(headers("warc-type") == "response")
+    assert(headers("warc-target-uri") == "https://ex.org/p")
+    assert(new String(payload, UTF_8) == "BODY!")
+    assert(WarcParse.isoMicros(headers("warc-date")).contains(1751286896789000L))
+    assert(WarcParse.isoMicros("not-a-date").isEmpty)
+    // next read hits the record separator then EOF
+    assert(WarcParse.readRecord(in).isEmpty)
+  }
+}
