@@ -104,7 +104,13 @@ final class WarcPartitionReader(path: String) extends PartitionReader[InternalRo
   private val in = {
     val p = new Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    new java.io.BufferedInputStream(fs.open(p))
+    val raw = new java.io.BufferedInputStream(fs.open(p))
+    // Common Crawl ships .warc.gz: per-record gzip MEMBERS concatenated
+    // into one file — GZIPInputStream consumes multi-member streams, so
+    // the record parser sees one continuous WARC byte stream
+    if (path.endsWith(".gz"))
+      new java.io.BufferedInputStream(new java.util.zip.GZIPInputStream(raw))
+    else raw
   }
   private var current: InternalRow = _
 

@@ -78,6 +78,25 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(out.head.n_tables == 1)
   }
 
+  test(".warc.gz: concatenated per-record gzip members decode transparently") {
+    val dir = Files.createTempDirectory("graft-warc-gz").toString
+    def gzMember(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      bos.toByteArray
+    }
+    // the Common-Crawl layout: each record its OWN gzip member, concatenated
+    val r1 = gzMember(record("response", "https://ex.org/gz1", "2025-01-01T00:00:00Z", httpResponse(html1)))
+    val r2 = gzMember(record("resource", "https://ex.org/gz2", "2025-01-01T00:00:01Z", html2.getBytes(UTF_8)))
+    Files.write(Paths.get(dir, "seg.warc.gz"), r1 ++ r2)
+    val rows = spark.read.format("warc").load(s"$dir/seg.warc.gz").orderBy("url").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "https://ex.org/gz1")
+    assert(new String(rows(0).getAs[Array[Byte]]("html"), UTF_8) == html1)
+    assert(new String(rows(1).getAs[Array[Byte]]("html"), UTF_8) == html2)
+  }
+
   test("malformed input: truncated record fails loudly, empty file yields no rows") {
     val dir = Files.createTempDirectory("graft-warc-bad").toString
     Files.write(Paths.get(dir, "empty.warc"), Array.emptyByteArray)
