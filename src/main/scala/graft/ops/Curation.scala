@@ -69,15 +69,20 @@ object Curation {
   def curate(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val survivors = signals(spark, docs)
       .filter(col("quality_ok") && col("dup_bigram_x1000") <= cfg.maxDupBigramX1000)
-    // exact dedup among survivors: minimum doc_id per content hash wins.
-    // A hash-PARTITIONED window (never global) instead of groupBy+self-join:
-    // the self-join re-evaluates the signal pass in both physical branches
-    // (two corpus scans), the window shape is one scan + one shuffle total.
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("content_md5"))
+    // exact dedup among survivors: minimum doc_id per content hash wins,
+    // as groupBy + min_by — one scan + one shuffle WITH map-side partial
+    // aggregation, so a degenerate corpus where one content hash dominates
+    // (mega-duplicate boilerplate) still shuffles one partial row per
+    // (task, hash). (The groupBy+self-join form re-scans the corpus per
+    // branch; a partitioned window has no partials and funnels a hot hash
+    // into a single task.)
     survivors
-      .withColumn("keep_id", min(col("doc_id")).over(byHash))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("dup_bigram_x1000"))
+      .groupBy(col("content_md5"))
+      .agg(min_by(
+        struct(col("doc_id"), col("n_tokens"), col("n_chars"), col("dup_bigram_x1000")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_chars").as("n_chars"), col("r.dup_bigram_x1000").as("dup_bigram_x1000"))
   }
 
   /** Deterministic exact-duplicate planting (distinct from

@@ -45,18 +45,44 @@ object Salting {
     * hash-partitioned window (never global); only (host, order) scalars
     * drive the shuffle.
     *
-    * CONTRACT: `orderCol` must be unique within a host (doc id, url) —
-    * row_number breaks ties by partition arrival order, so a tied key
-    * (e.g. a coarse timestamp) would make the kept sample depend on
-    * partitioning. Pass a unique key or a composite
-    * (`struct(ts, doc_id)`-style) tiebreak.
+    * CONTRACT: `orderCol` must be a non-null integral (long) key that is
+    * unique within a host (doc id) — row_number breaks ties by partition
+    * arrival order, so a tied key (e.g. a coarse timestamp) would make the
+    * kept sample depend on partitioning; cast/compose a unique long key
+    * first.
     */
   def capPerHost(df: DataFrame, hostCol: Column, orderCol: Column, cap: Int): DataFrame = {
+    val h = "__graft_cap_host"
+    val o = "__graft_cap_order"
     val rank = "__graft_host_cap_rank"
+    val tagged = df.withColumn(h, hostCol).withColumn(o, orderCol)
+    val schema = tagged.schema
+    val hIdx = schema.fieldIndex(h)
+    val oIdx = schema.fieldIndex(o)
+    // phase 1 — map-side prune (the window below has no partial
+    // aggregation, so WITHOUT this a mega-host funnels its entire row set
+    // into one reducer): keep only the `cap` smallest orders per host per
+    // input partition, bounding the shuffle to cap × numPartitions rows
+    // per host. State per task = (hosts in partition) × cap rows — the
+    // same bound as a hash-agg partial.
+    import org.apache.spark.sql.{Encoders, Row}
+    val pruned = tagged.mapPartitions { it =>
+      val perHost = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      val ord = Ordering.by[Row, Long](_.getLong(oIdx)) // max-heap: evict largest
+      it.foreach { r =>
+        val q = perHost.getOrElseUpdate(r.get(hIdx),
+          scala.collection.mutable.PriorityQueue.empty[Row](ord))
+        if (q.size < cap) q.enqueue(r)
+        else if (ord.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
+      }
+      perHost.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+    // phase 2 — exact global top-cap per host over the pruned set
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(hostCol).orderBy(orderCol.asc)
-    df.withColumn(rank, row_number().over(w))
+      .partitionBy(col(h)).orderBy(col(o).asc)
+    pruned.withColumn(rank, row_number().over(w))
       .filter(col(rank) <= cap)
-      .drop(rank)
+      .drop(rank, h, o)
   }
 }

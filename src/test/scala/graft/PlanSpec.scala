@@ -82,13 +82,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("curation pass is one corpus scan + one shuffle (partitioned window keeper)") {
+  test("curation pass is one corpus scan + one partial-agg shuffle (no window)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = graft.ops.Curation.curate(spark, docs)
       .queryExecution.executedPlan.toString
     assert(p.split("Scan parquet").length - 1 == 1, p) // text read ONCE
     assert(p.split("Exchange").length - 1 == 1, p)     // only the md5 keeper shuffle
-    assert(p.contains("Window"), p)
+    // min_by keeper: partial aggregation BEFORE the exchange (struct-valued
+    // min_by plans as SortAggregate) — a hot content hash shuffles one
+    // partial row per task, never a window's full row funnel
+    assert(p.contains("partial_min_by"), p)
+    assert(p.split("Aggregate").length - 1 >= 2, p)
+    assert(!p.contains("Window"), p)
   }
 
   test("extract_mapped broadcast-joins the sidecar (no collect, real BHJ)") {
