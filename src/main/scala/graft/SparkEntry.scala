@@ -306,7 +306,9 @@ object Queries {
     // the already-accepted corpus (the ledger holds ONLY their md5s);
     // the incoming batch is the rest plus exact twins of ledger docs —
     // twins must be rejected by the ledger anti-join, fresh docs accepted
-    // with the in-batch min-id rule
+    // with the in-batch min-id rule. The rows variant joins the accepted
+    // keys back to the batch, so the oracle also checks the full-row
+    // round-trip (text survives the keep-set join).
     "q_dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val ledger = d.filter(col("doc_id") < 250)
@@ -314,7 +316,8 @@ object Queries {
       val incoming = d.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
         .union(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
           .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
-      Dedup.incrementalExactDedup(incoming, ledger)
+      Dedup.incrementalExactDedupRows(incoming, ledger)
+        .select(col("content_md5"), col("doc_id"), col("text"))
     }),
 
     // connected components over a deterministic arithmetic pair graph
@@ -815,7 +818,8 @@ object Queries {
         |batch AS (
         |  SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
         |  FROM incoming GROUP BY md5(text))
-        |SELECT b.content_md5, b.doc_id FROM batch b
+        |SELECT b.content_md5, b.doc_id, i.text FROM batch b
+        |JOIN incoming i ON i.doc_id = b.doc_id AND md5(i.text) = b.content_md5
         |WHERE b.content_md5 NOT IN (SELECT content_md5 FROM ledger)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per

@@ -82,9 +82,15 @@ object Dedup {
     h
   }
 
-  /** Scala-side shingle set (must mirror shingleSet's Column semantics). */
+  /** Scala-side shingle set (must mirror shingleSet's Column semantics).
+    * Trims with SQL-trim (spaces ONLY — Java String.trim also strips control
+    * chars ≤ U+0020, which neither Spark SQL `trim` nor the DuckDB oracles
+    * do; on a text starting with '\n' the Java-trim variant hash-diverged
+    * from every cross-engine shingle oracle).
+    */
   def shinglesOf(text: String, n: Int): Array[String] = {
-    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val tokens = TextAnalysis.sqlTrim(text)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val grams =
       if (tokens.length < n) Array(tokens.mkString(" "))
       else Array.tabulate(tokens.length - n + 1)(i => tokens.slice(i, i + n).mkString(" "))
@@ -259,11 +265,12 @@ object Dedup {
   /** Incremental (append-mode) exact dedup — the at-scale pattern for a
     * growing crawl: a persistent LEDGER of content hashes already accepted
     * is joined against, so each new batch costs O(batch) + one hash
-    * anti-join instead of re-deduplicating the whole corpus. Returns the
-    * accepted rows of `incoming` (hash not in ledger, minimum key wins
-    * within the batch); union the accepted hashes back into the ledger
-    * afterwards. The ledger side carries ONLY hashes — never text — so the
-    * join shuffles 16-byte digests at any corpus size.
+    * anti-join instead of re-deduplicating the whole corpus. Returns ONLY
+    * the accepted (content_md5, doc_id) keys — hash not in ledger, minimum
+    * doc_id wins within the batch — never the text, so the shuffle moves
+    * 16-byte digests at any corpus size; union the accepted hashes back
+    * into the ledger afterwards. Use [[incrementalExactDedupRows]] when the
+    * caller needs the full accepted rows back.
     */
   def incrementalExactDedup(incoming: DataFrame, ledger: DataFrame): DataFrame = {
     val inBatchKeep = incoming
@@ -271,6 +278,18 @@ object Dedup {
       .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
     inBatchKeep.join(
       ledger.select(col("content_md5")), Seq("content_md5"), "left_anti")
+  }
+
+  /** incrementalExactDedup returning the FULL accepted rows of `incoming`
+    * (all original columns plus content_md5): the digest-only keep set is
+    * computed first, then joined back on (content_md5, doc_id) — the
+    * second shuffle is what the digest-only variant exists to avoid, so
+    * prefer it when downstream only needs keys.
+    */
+  def incrementalExactDedupRows(incoming: DataFrame, ledger: DataFrame): DataFrame = {
+    val withHash = incoming.withColumn("content_md5", md5(col("text")))
+    val keep = incrementalExactDedup(incoming, ledger)
+    withHash.join(keep, Seq("content_md5", "doc_id"))
   }
 
   /** Deterministic near-duplicate corpus: every doc with doc_id % 10 == 0

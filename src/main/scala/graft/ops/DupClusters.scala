@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *  - only (id, label) pairs ever shuffle — never document content;
   *  - the edge list is symmetrized, de-duplicated and checkpointed ONCE and
   *    re-read each iteration;
-  *  - per-iteration `localCheckpoint` truncates the lineage so the plan
-  *    stays constant-size across iterations (on a real cluster use
-  *    `spark.sparkContext.setCheckpointDir` + reliable `checkpoint` instead
-  *    — same call shape, executor-loss-safe);
+  *  - per-iteration checkpointing truncates the lineage so the plan stays
+  *    constant-size across iterations. When the context has a checkpoint
+  *    dir (`spark.sparkContext.setCheckpointDir`) the RELIABLE `checkpoint`
+  *    is used — executor-loss-safe on a real cluster; otherwise
+  *    `localCheckpoint` (blocks are lost with an executor, fine for
+  *    local/test runs). Same iteration count either way (spec-gated);
   *  - convergence is detected with a bounded `isEmpty` probe per round, so
   *    easy graphs stop early and `maxIter` only bounds adversarial chains.
   *
@@ -46,19 +48,38 @@ object DupClusters {
       spark: SparkSession,
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsResult(spark, edges, vertices, maxIter).labels
+
+  /** connectedComponents plus the convergence iteration count (for tests /
+    * metrics).
+    */
+  final case class CCResult(labels: DataFrame, iterations: Int)
+
+  /** Lineage truncation per round: reliable `checkpoint` when the context
+    * has a checkpoint dir (survives executor loss — required on a real
+    * cluster for a multi-round fixpoint), `localCheckpoint` otherwise.
+    */
+  private def truncate(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  def connectedComponentsResult(
+      spark: SparkSession,
+      edges: DataFrame,
+      vertices: Option[DataFrame] = None,
+      maxIter: Int = 30): CCResult = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val sym = e
+    val sym = truncate(spark, e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val vs = vertices
       .map(v => v.select(v.columns.head).toDF("id").select(col("id").cast("long").as("id")))
       .map(_.union(sym.select(col("src").as("id"))).distinct())
       .getOrElse(sym.select(col("src").as("id")).distinct())
 
-    var labels = vs.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = truncate(spark, vs.select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -73,16 +94,15 @@ object DupClusters {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("lbl1"))
       // (2) compress: follow the proposed label through the current map
       val lookup = labels.select(col("id").as("lk_id"), col("label").as("lk_label"))
-      val next = prop
+      val next = truncate(spark, prop
         .join(lookup, prop("lbl1") === lookup("lk_id"), "left")
         .select(col("id"), col("label"),
-          least(col("lbl1"), coalesce(col("lk_label"), col("lbl1"))).as("new_label"))
-        .localCheckpoint()
+          least(col("lbl1"), coalesce(col("lk_label"), col("lbl1"))).as("new_label")))
       converged = next.filter(col("new_label") =!= col("label")).isEmpty
       labels = next.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    CCResult(labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
 
   /** Cluster membership from a near-dup pair list (columns `a`, `b`, as

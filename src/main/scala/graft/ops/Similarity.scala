@@ -179,6 +179,51 @@ object Similarity {
     ivfTopK(spark, queries, corpus, k, numCentroids, nProbe)
   }
 
+  /** Deterministic pseudo-random hyperplane matrix for sign-LSH, cached per
+    * (planes, dim) per JVM. The plane components are CONSTANTS of (p, j) —
+    * round 3 re-derived them per row per array element inside HOF lambdas
+    * (xxhash64 + string concat, the measured HOF-child trap from BENCH.md:
+    * O(planes×dim) hash+format ops per ROW, and the worst benched query).
+    * Now each executor materializes the matrix once (planes×dim doubles,
+    * e.g. 62×1024 ≈ 0.5 MB) and the projection is a pure flops loop.
+    */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dim), { key =>
+      Array.tabulate(key._1, key._2) { (p, j) =>
+        Dedup.hash64(s"plane$p:$j", 0L).toDouble / Long.MaxValue.toDouble
+      }
+    })
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** (vec_id, sig, embedding) with sig = the `planes` sign bits of the
+    * hyperplane projections — one typed pass per row, matrix from the
+    * per-JVM cache (the simhashRows shape; nothing recomputed per element).
+    */
+  def hyperplaneSigRows(corpus: DataFrame, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val m = planeMatrix(planes, emb.length)
+          var sig = 0L
+          var p = 0
+          while (p < planes) {
+            val row = m(p)
+            var acc = 0.0
+            var j = 0
+            while (j < emb.length) { acc += emb(j) * row(j); j += 1 }
+            if (acc > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, sig, emb)
+        }
+      }.toDF("vec_id", "sig", "embedding")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a similarity
     * threshold, via LSH-style random-hyperplane bucketing (sign bits of
     * projections onto deterministic pseudo-random planes) + exact verify.
@@ -189,24 +234,14 @@ object Similarity {
     * SIZE THE PLANES TO THE CORPUS: expected bucket size is n / 2^planes,
     * so the default 8 planes suits n ≲ 16k (bucket ≈ 64); at 1M vectors use
     * ~14+ planes or the cap starts discarding whole healthy buckets (recall
-    * loss, not graceful degradation). The registered demo query runs at
-    * n ≤ 2.1k where buckets average single digits.
+    * loss, not graceful degradation) — [[cosineNearDupPairsAuto]] derives
+    * the plane count from a corpus count so the cliff can't be hit by
+    * default. The registered demo query runs at n ≤ 2.1k where buckets
+    * average single digits.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
       maxBucket: Int = 64): DataFrame = {
-    // deterministic pseudo-random plane p: component j = hash(p, j) mapped to [-1, 1]
-    def planeSig(emb: Column): Column = {
-      (0 until planes).map { p =>
-        val proj = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) => {
-            val h = xxhash64(concat(lit(s"plane$p:"), j.cast("string")))
-            x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
-          }),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
-    val sigs = corpus.select(col("vec_id"), col("embedding"), planeSig(col("embedding")).as("sig"))
+    val sigs = hyperplaneSigRows(corpus, planes)
     val buckets = sigs.groupBy(col("sig"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
@@ -216,6 +251,21 @@ object Similarity {
     pairs.withColumn("score", cosine(col("emb_a"), col("emb_b")))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
+  }
+
+  /** cosineNearDupPairs with the plane count auto-sized from one cheap
+    * column-pruned count(): planes = clamp(ceil(log2(n / targetBucket)),
+    * 8, 62), so expected bucket size stays ≈ targetBucket at any corpus
+    * size and the fixed-8-planes recall cliff (healthy buckets outgrowing
+    * maxBucket once n ≫ 16k) can't be hit by default. Pass `planes`
+    * explicitly via [[cosineNearDupPairs]] to avoid the extra job.
+    */
+  def cosineNearDupPairsAuto(corpus: DataFrame, threshold: Double,
+      targetBucket: Int = 64, maxBucket: Int = 64): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    val needed = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
+    val planes = math.min(62, math.max(8, needed))
+    cosineNearDupPairs(corpus, threshold, planes, maxBucket)
   }
 
   private def pairStructs(members: Column): Column = {

@@ -54,15 +54,26 @@ object WarcSource {
     StructField("warc_ts", TimestampType, nullable = true),
     StructField("html", BinaryType, nullable = true)))
 
+  /** The active session's Hadoop configuration (carries `spark.hadoop.*`
+    * overrides — S3/ABFS credentials, endpoints, custom FS impls; the
+    * round-3 source built a default `Configuration()` and silently dropped
+    * them, so it only worked on default-reachable filesystems). Falls back
+    * to a bare conf when no session is active (direct parser tests).
+    */
+  def sessionHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Resolve the option paths to concrete file paths (glob-aware). */
-  def resolvePaths(props: Map[String, String]): Seq[String] = {
+  def resolvePaths(props: Map[String, String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val raw = props.get("paths")
       .map(p => graft.core.JVal.parse(p) match {
         case graft.core.JVal.JArr(items) => items.collect { case graft.core.JVal.JStr(s) => s }.toList
         case _ => Nil
       })
       .getOrElse(props.get("path").toList)
-    val conf = new org.apache.hadoop.conf.Configuration()
     raw.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -73,6 +84,28 @@ object WarcSource {
         else Seq(st.getPath.toString)
       }
     }.distinct.sorted
+  }
+
+  def resolvePaths(props: Map[String, String]): Seq[String] =
+    resolvePaths(props, sessionHadoopConf())
+}
+
+/** Java-serializable Hadoop Configuration carrier (Configuration itself is
+  * Writable, not Serializable; Spark's own wrapper is private[spark]) —
+  * resolved once on the driver from the session state, shipped to the
+  * partition readers so executor-side FS opens see the same
+  * `spark.hadoop.*` settings as planning did.
+  */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -86,30 +119,42 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
       override def build(): Scan = this
       override def readSchema(): StructType = WarcSource.Schema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        WarcSource.resolvePaths(props).map(WarcFilePartition(_): InputPartition).toArray
+      override def planInputPartitions(): Array[InputPartition] = {
+        val conf = WarcSource.sessionHadoopConf()
+        val shipped = new SerializableHadoopConf(conf)
+        WarcSource.resolvePaths(props, conf)
+          .map(WarcFilePartition(_, shipped): InputPartition).toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory = new WarcReaderFactory
     }
 }
 
-final case class WarcFilePartition(path: String) extends InputPartition
+final case class WarcFilePartition(path: String, conf: SerializableHadoopConf)
+    extends InputPartition
 
 final class WarcReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcFilePartition].path)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcFilePartition]
+    new WarcPartitionReader(p.path, p.conf.value)
+  }
 }
 
 /** Streaming WARC record parser over one file. */
-final class WarcPartitionReader(path: String) extends PartitionReader[InternalRow] {
+final class WarcPartitionReader(path: String,
+    hadoopConf: org.apache.hadoop.conf.Configuration) extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val raw = new java.io.BufferedInputStream(fs.open(p))
     // Common Crawl ships .warc.gz: per-record gzip MEMBERS concatenated
-    // into one file — GZIPInputStream consumes multi-member streams, so
-    // the record parser sees one continuous WARC byte stream
+    // into one file. commons-compress with decompressConcatenated=true has
+    // EXPLICIT multi-member support — java.util.zip.GZIPInputStream's
+    // member-boundary heuristic peeks `available()`, which remote FS
+    // streams legitimately report as 0 mid-file, silently truncating the
+    // record stream at the first member on e.g. S3.
     if (path.endsWith(".gz"))
-      new java.io.BufferedInputStream(new java.util.zip.GZIPInputStream(raw))
+      new java.io.BufferedInputStream(
+        new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(raw, true))
     else raw
   }
   private var current: InternalRow = _
@@ -123,7 +168,10 @@ final class WarcPartitionReader(path: String) extends PartitionReader[InternalRo
           val recType = headers.getOrElse("warc-type", "")
           if (recType == "response" || recType == "resource") {
             val url = headers.getOrElse("warc-target-uri", "")
-            val micros = headers.get("warc-date").flatMap(WarcParse.isoMicros).getOrElse(0L)
+            // no/unparseable WARC-Date => null (the schema is nullable; a
+            // 0L default would be indistinguishable from a genuine epoch ts)
+            val micros: Any =
+              headers.get("warc-date").flatMap(WarcParse.isoMicros).map(Long.box).orNull
             val body =
               if (recType == "response") WarcParse.stripHttpEnvelope(payload) else payload
             current = new GenericInternalRow(Array[Any](

@@ -230,9 +230,9 @@ object Stats {
     lines += s"  Unique rows: ${global.unique_rows}"
     lines += s"  Rows with agreement > 1: ${global.rows_with_agreement}"
     global.globalAgreementPercentage.foreach(p =>
-      lines += f"  Global agreement percentage: $p%.2f%%")
+      lines += s"  Global agreement percentage: ${py2f(p)}%")
     global.globalSharedValuesPercentage.foreach(p =>
-      lines += f"  Global shared values percentage: $p%.2f%%")
+      lines += s"  Global shared values percentage: ${py2f(p)}%")
     lines += ""
     lines += "Per-Paper Stats:"
     lines.toSeq
@@ -248,11 +248,21 @@ object Stats {
     lines += s"    Unique rows: ${ps.unique_rows}"
     lines += s"    Columns: ${ps.columns}"
     lines += s"    Rows with agreement > 1: ${ps.rows_with_agreement}"
-    agree.foreach(p => lines += f"    Agreement percentage: $p%.2f%%")
-    empty.foreach(p => lines += f"    Empty rows percentage: $p%.2f%%")
-    shared.foreach(p => lines += f"    Shared values percentage: $p%.2f%%")
+    agree.foreach(p => lines += s"    Agreement percentage: ${py2f(p)}%")
+    empty.foreach(p => lines += s"    Empty rows percentage: ${py2f(p)}%")
+    shared.foreach(p => lines += s"    Shared values percentage: ${py2f(p)}%")
     lines.toSeq
   }
+
+  /** CPython f"{p:.2f}" parity: correctly-rounded HALF_EVEN applied to the
+    * EXACT binary value of the double (what CPython's dtoa does). Java's
+    * f"%.2f" rounds HALF_UP instead, diverging at exactly-representable
+    * half values: 12.125 → Python '12.12' / Java '12.13'. Reference report
+    * format: src/paper2table/stats.py f-strings.
+    */
+  private[stats] def py2f(p: Double): String =
+    new java.math.BigDecimal(p)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
 
   private def columnLines(cols: Map[String, String]): Seq[String] =
     "" +: "Unique Columns:" +: cols.toSeq.sortBy(_._1).map { case (n, t) => s"$n:$t" }

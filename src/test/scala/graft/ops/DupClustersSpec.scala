@@ -42,6 +42,37 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got == (0L to 100L).map(_ -> 0L).toMap)
   }
 
+  test("reliable checkpoint path: same labels and iteration count as localCheckpoint") {
+    import spark.implicits._
+    // the chain+skip graph forces multi-round convergence; with a context
+    // checkpoint dir set, truncation switches from localCheckpoint to the
+    // executor-loss-safe reliable checkpoint — results and round count must
+    // be identical (the switch changes durability, not the algorithm)
+    val e = ((0L until 40L).filterNot(_ % 13 == 12).map(i => (i, i + 1)) ++ Seq((0L, 26L)))
+      .toDF("src", "dst")
+    val local = DupClusters.connectedComponentsResult(spark, e)
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val reliable = DupClusters.connectedComponentsResult(spark, e)
+      assert(reliable.iterations == local.iterations)
+      assert(reliable.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        local.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      // the reliable path actually wrote checkpoint data
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      // restore the shared context: checkpointDir is a private[spark] var,
+      // reset through its generated setter so other suites keep the fast
+      // localCheckpoint path
+      val m = sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq").get
+      m.invoke(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("clusters from planted LSH pairs put each twin with its original") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val planted = Dedup.withPlantedNearDups(docs)

@@ -92,6 +92,72 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.forall(pairs.contains), s"missing ${expected -- pairs}")
   }
 
+  test("hyperplane signatures: cached constant matrix, typed pass matches a driver recompute") {
+    // the plane matrix is a CONSTANT of (planes, dim): one JVM-cached
+    // instance (round 3 re-derived every component per row per element
+    // inside HOF lambdas — the measured BENCH.md trap, worst benched query)
+    val m1 = Similarity.planeMatrix(8, 16)
+    assert(m1 eq Similarity.planeMatrix(8, 16)) // same cached instance
+    assert(m1.length == 8 && m1.head.length == 16)
+    assert(m1.flatten.forall(v => v >= -1.0 && v <= 1.0))
+    assert(m1(0)(0) != m1(1)(0) || m1(0)(1) != m1(1)(1)) // planes differ
+
+    val sigs = Similarity.hyperplaneSigRows(emb.filter(col("vec_id") < 20), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val e = r.getSeq[Float](1).toArray
+        val m = Similarity.planeMatrix(8, e.length)
+        var sig = 0L
+        for (p <- 0 until 8) {
+          val acc = e.indices.map(j => e(j) * m(p)(j)).sum
+          if (acc > 0) sig |= (1L << p)
+        }
+        id -> sig
+      }.toMap
+    assert(sigs == want)
+  }
+
+  test("cosineNearDupPairsAuto sizes planes from the corpus and keeps the planted twins") {
+    val planted = emb.select(col("vec_id"), col("embedding")).union(
+      emb.filter(col("vec_id") % 25 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val pairs = Similarity.cosineNearDupPairsAuto(planted, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    assert(expected.forall(pairs.contains), s"missing ${expected -- pairs}")
+  }
+
+  test("shingle kernel trims SQL-style: control whitespace survives tokenization") {
+    // Java String.trim strips ALL chars <= U+0020; SQL/DuckDB trim strips
+    // spaces only, and regex \s does not match U+0001 — so a leading \u0001
+    // must stay attached to the first token (cross-engine oracle parity)
+    val grams = Dedup.shinglesOf("\u0001aa bb cc dd", 3).toSet
+    assert(grams == Set("\u0001aa bb cc", "bb cc dd"))
+    // leading regex-whitespace (\n) is dropped by the split's empty filter
+    // on both engines
+    assert(Dedup.shinglesOf("\naa bb cc", 3).toSet == Set("aa bb cc"))
+    // pure-space padding behaves as before
+    assert(Dedup.shinglesOf("  aa bb cc  ", 3).toSet == Set("aa bb cc"))
+  }
+
+  test("incremental dedup rows variant returns the full accepted rows") {
+    import spark.implicits._
+    val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
+    val incoming = Seq(
+      (10L, "known text"), (7L, "fresh text"), (3L, "fresh text"), (9L, "other fresh"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedupRows(incoming, ledger)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(kept.toSeq == Seq((3L, "fresh text"), (9L, "other fresh")))
+  }
+
   test("cosine near-dup caps degenerate buckets (planted identical-direction cluster)") {
     import spark.implicits._
     // 40 copies of ONE direction all land in the same hyperplane bucket;

@@ -297,6 +297,18 @@ class StatsEdgeSpec extends AnyFunSuite {
     assert(Stats.formatStats(g, Nil).contains("Global agreement percentage: 50.00%"))
   }
 
+  test("percentage formatting is CPython f'{p:.2f}' (HALF_EVEN on the exact binary value)") {
+    // CPython reference outputs: 12.125 -> '12.12' (exact binary half,
+    // rounds to even; Java's %.2f HALF_UP gives '12.13'), 12.375 -> '12.38'
+    // (even is up here), 2.675 -> '2.67' (binary value is just below the
+    // half), 0.005 -> '0.01' (just above), 50.0 -> '50.00'
+    assert(Stats.py2f(12.125) == "12.12")
+    assert(Stats.py2f(12.375) == "12.38")
+    assert(Stats.py2f(2.675) == "2.67")
+    assert(Stats.py2f(0.005) == "0.01")
+    assert(Stats.py2f(50.0) == "50.00")
+  }
+
   test("format_stats omits global agreement percentage when None") {
     assert(!Stats.formatStats(emptyGlobal, Nil).contains("Global agreement percentage"))
   }
