@@ -193,6 +193,37 @@ object Queries {
         .select(col("url"), col("citation"), col("n_tables"))
     }),
 
+    // S14 end-to-end: the synthetic corpus is WRITTEN as Common-Crawl-layout
+    // .warc.gz (one gzip member per record; warcinfo + request records
+    // interleaved with the responses), read back via format("warc") — which
+    // must skip non-response records, decode every gzip member, strip the
+    // HTTP envelope and surface the exact html bytes — and fed through the
+    // full extraction. Structural counts and the WARC-Date round-trip are
+    // predicted by the oracle from pure doc_id arithmetic, so a silent
+    // regression anywhere in write→decode→parse→extract flips the gate.
+    // The write is an action, memoized per (session, dir) like
+    // q_dup_clusters (PlanSpec jobs-gate pattern).
+    "q_warc_roundtrip" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_warc_roundtrip") {
+        import s.implicits._
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-warc-${new java.io.File(dir).getName}").getAbsolutePath
+        graft.sources.WarcWriter.writeCorpus(s, SyntheticPages.pages(s, dir), out)
+        val warc = s.read.format("warc").load(out)
+        val pages = warc
+          .select(col("url"), col("warc_ts"), col("html"))
+          .as[(String, java.sql.Timestamp, Array[Byte])]
+          .map { case (u, ts, html) => graft.pipeline.Page(u, ts, html, "", "") }
+        val ex = ExtractJob.extract(s, pages, ExtractJob.Config(buckets = 32)).toDF()
+        // crawl-metadata enrichment join (url-keyed; same shape as joining
+        // any per-capture sidecar back onto extraction output)
+        val meta = warc.select(col("url"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch"))
+        ex.join(meta, "url")
+          .select(col("url"), col("warc_epoch"), col("n_tables"),
+            col("n_table_rows"), size(col("spans")).as("n_spans"), col("status"))
+      }),
+
     // ----- relational layer (oracle-checked)
     "q1_agg" -> ((s, dir) =>
       lineitem(s, dir)
@@ -598,6 +629,19 @@ object Queries {
       s"""SELECT $urlExpr AS url, 'Mapped Atlas (2031)' AS citation,
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INT) AS n_tables
         |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
+    // WARC round-trip: same structural prediction as extract_invariants
+    // plus the WARC-Date second (writer stamps 2025-01-01T00:00:00Z +
+    // doc_id seconds; reader parses ISO-8601 to the timestamp the query
+    // reduces to epoch seconds)
+    "q_warc_roundtrip" ->
+      s"""WITH $docFlagsCte
+        |SELECT $urlExpr AS url,
+        |  CAST(1735689600 + doc_id AS BIGINT) AS warc_epoch,
+        |  CAST(m3 + m9 + m5 + pre AS INT) AS n_tables,
+        |  CAST(m3 * main_rows + m9 * 2 + m5 * 3 + pre * 4 AS INT) AS n_table_rows,
+        |  CAST(m3 + m9 + m5 + pre AS INT) AS n_spans,
+        |  'ok' AS status
+        |FROM f""".stripMargin,
     "q_cosine_near_dup" ->
       """WITH planted AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

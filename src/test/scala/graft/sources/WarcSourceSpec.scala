@@ -110,6 +110,43 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("missing or unparseable WARC-Date yields null warc_ts, not epoch 0") {
+    val dir = Files.createTempDirectory("graft-warc-nodate").toString
+    val noDate =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.org/nd\r\n" +
+        s"Content-Length: ${httpResponse(html1).length}\r\n\r\n").getBytes(UTF_8) ++
+        httpResponse(html1) ++ "\r\n\r\n".getBytes(UTF_8)
+    writeWarc(dir, "nd.warc", noDate,
+      record("response", "https://ex.org/bad", "not-a-date", httpResponse(html2)))
+    val rows = spark.read.format("warc").load(dir)
+      .select(col("url"), col("warc_ts")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("writer round-trip: warcinfo/request skipped, html bytes and date exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-writer").toString + "/corpus"
+    val ts = new java.sql.Timestamp(1735689600000L + 42000L)
+    val pages = Seq(
+      graft.pipeline.Page("https://ex.org/a", ts, html1.getBytes(UTF_8), "", "en"),
+      graft.pipeline.Page("https://ex.org/b", ts, html2.getBytes(UTF_8), "", "en")).toDS()
+    val files = WarcWriter.writeCorpus(spark, pages.repartition(2), dir)
+    assert(files.map(_._2).sum == 2L * 2 + files.length) // 2 records/page + warcinfo/file
+    assert(files.forall(_._1.endsWith(".warc.gz")))
+    val got = spark.read.format("warc").load(dir)
+      .select(col("url"), col("warc_ts"), col("html")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        new String(r.getAs[Array[Byte]](2), UTF_8))).sortBy(_._1)
+    // only the 2 response records surface; envelope stripped; date round-trips
+    assert(got.toSeq == Seq(
+      ("https://ex.org/a", ts.getTime, html1),
+      ("https://ex.org/b", ts.getTime, html2)))
+    // rewrite is idempotent (outDir wiped first)
+    WarcWriter.writeCorpus(spark, pages.repartition(1), dir)
+    assert(spark.read.format("warc").load(dir).count() == 2)
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
