@@ -547,6 +547,102 @@ object Queries {
         |  CAST(sum(nrows * ncols) AS BIGINT) AS n_cells,
         |  CAST(sum(nrows) AS BIGINT) AS n_rows
         |FROM t GROUP BY doc_id""".stripMargin,
+    // FULL CONTENT oracle (round-3 stretch): every flattened cell STRING is
+    // recomputed from the generator arithmetic — vocab pick and population
+    // via the 31-bit LCG+scramble hash (SyntheticPages.mix), span
+    // resolution (rowspan fill + colspan duplication), th-header lifting
+    // vs numeric names, and the <pre> whitespace grid with its unpromoted
+    // header line. The oracle never parses HTML; it predicts what the
+    // tokenizer+grid+flatten pipeline MUST produce.
+    "extract_tables_flat" ->
+      s"""WITH $docFlagsCte,
+        |vocab(vi, cn, sn, st) AS (VALUES
+        |  (0, 'Lantern Fox', 'Vulpes lucerna', 'stable'),
+        |  (1, 'Glass Frog', 'Rana vitrea', 'declining'),
+        |  (2, 'Ember Owl', 'Bubo prunae', 'endangered'),
+        |  (3, 'Mirror Carp', 'Cyprinus speculum', 'stable'),
+        |  (4, 'Dusk Moth', 'Tinea crepusculi', 'unknown'),
+        |  (5, 'Señor Ibis', 'Eudocimus señorius', 'vulnerable'),
+        |  (6, 'Straße Shrew', 'Sorex stratae', 'stable'),
+        |  (7, 'Café Finch', 'Fringilla cafeata', 'declining')),
+        |mainseed AS (
+        |  SELECT doc_id, m6, CASE WHEN m5 = 1 THEN 2 ELSE 1 END AS page, u.i AS ri,
+        |    ((doc_id + 7 + u.i) * 1103515245 + 12345) % 2147483647 AS pv,
+        |    ((doc_id * 31 + u.i) * 1103515245 + 12345) % 2147483647 AS pp
+        |  FROM f, UNNEST(generate_series(0, main_rows - 1)) u(i) WHERE m3 = 1),
+        |mainrow AS (
+        |  SELECT doc_id, m6, page, ri,
+        |    CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi,
+        |    (pp * pp % 2147483647 + pp) % 2147483647 % 9000 + 100 AS pop
+        |  FROM mainseed),
+        |main_cells AS (
+        |  SELECT doc_id, 0 AS ti, page, ri,
+        |    CASE WHEN m6 = 1 THEN 'common_name' ELSE '0' END AS col_name, v.cn AS value
+        |  FROM mainrow JOIN vocab v USING (vi)
+        |  UNION ALL
+        |  SELECT doc_id, 0, page, ri,
+        |    CASE WHEN m6 = 1 THEN 'scientific_name' ELSE '1' END, v.sn
+        |  FROM mainrow JOIN vocab v USING (vi)
+        |  UNION ALL
+        |  SELECT doc_id, 0, page, ri, CASE WHEN m6 = 1 THEN 'status' ELSE '2' END, v.st
+        |  FROM mainrow JOIN vocab v USING (vi)
+        |  UNION ALL
+        |  SELECT doc_id, 0, page, ri,
+        |    CASE WHEN m6 = 1 THEN 'estimated_population' ELSE '3' END, CAST(pop AS VARCHAR)
+        |  FROM mainrow),
+        |spanseed AS (
+        |  SELECT doc_id, CASE WHEN m5 = 1 THEN 2 ELSE 1 END AS page,
+        |    ((doc_id + 3) * 1103515245 + 12345) % 2147483647 AS pk
+        |  FROM f WHERE m9 = 1),
+        |span_cells AS (
+        |  SELECT doc_id, 1 AS ti, page, 0 AS ri, c.col_name, c.value
+        |  FROM spanseed, (VALUES ('region', 'Northern Isles'), ('group', 'birds'),
+        |                         ('count', '12')) c(col_name, value)
+        |  UNION ALL
+        |  SELECT doc_id, 1, page, 1, cc.col_name,
+        |    CASE WHEN cc.col_name = 'region' THEN 'Northern Isles'
+        |         ELSE 'mixed ' || CAST((pk * pk % 2147483647 + pk) % 2147483647 % 100 AS VARCHAR)
+        |    END
+        |  FROM spanseed, (VALUES ('region'), ('group'), ('count')) cc(col_name)),
+        |contseed AS (
+        |  SELECT doc_id, m3 + m9 AS ti, u.i AS ri,
+        |    ((doc_id + 23 + u.i) * 1103515245 + 12345) % 2147483647 AS pv
+        |  FROM f, UNNEST(generate_series(0, 2)) u(i) WHERE m5 = 1),
+        |controw AS (
+        |  SELECT doc_id, ti, ri,
+        |    CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi
+        |  FROM contseed),
+        |cont_cells AS (
+        |  SELECT doc_id, ti, 2 AS page, ri, 'common_name' AS col_name, v.cn AS value
+        |  FROM controw JOIN vocab v USING (vi)
+        |  UNION ALL
+        |  SELECT doc_id, ti, 2, ri, 'scientific_name', v.sn FROM controw JOIN vocab v USING (vi)),
+        |preseed AS (
+        |  SELECT doc_id, u.i AS ri,
+        |    ((doc_id + 13 + u.i) * 1103515245 + 12345) % 2147483647 AS pv,
+        |    ((doc_id * 31 + u.i) * 1103515245 + 12345) % 2147483647 AS pp
+        |  FROM f, UNNEST(generate_series(0, 2)) u(i) WHERE pre = 1),
+        |prerow AS (
+        |  SELECT doc_id, ri,
+        |    CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi,
+        |    (pp * pp % 2147483647 + pp) % 2147483647 % 9000 + 100 AS pop
+        |  FROM preseed),
+        |pre_cells AS (
+        |  SELECT doc_id, 0 AS ti, 1 AS page, 0 AS ri, c.col_name, c.value
+        |  FROM f, (VALUES ('0', 'Name'), ('1', 'Population'), ('2', 'Trend')) c(col_name, value)
+        |  WHERE pre = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0, 1, ri + 1, '0', v.cn FROM prerow JOIN vocab v USING (vi)
+        |  UNION ALL
+        |  SELECT doc_id, 0, 1, ri + 1, '1', CAST(pop AS VARCHAR) FROM prerow
+        |  UNION ALL
+        |  SELECT doc_id, 0, 1, ri + 1, '2', v.st FROM prerow JOIN vocab v USING (vi)),
+        |cells AS (
+        |  SELECT * FROM main_cells UNION ALL SELECT * FROM span_cells
+        |  UNION ALL SELECT * FROM cont_cells UNION ALL SELECT * FROM pre_cells)
+        |SELECT $urlExpr AS url, CAST(ti AS INT) AS table_idx, 0 AS frag_idx,
+        |  CAST(page AS INT) AS page, CAST(ri AS INT) AS row_idx, col_name, value
+        |FROM cells""".stripMargin,
     "merge_agreement" ->
       s"""WITH $docFlagsCte, $docTablesCte
         |SELECT $urlExpr AS doc_id,

@@ -28,13 +28,18 @@ object SyntheticPages {
     ("Straße Shrew", "Sorex stratae", "stable"),
     ("Café Finch", "Fringilla cafeata", "declining"))
 
-  /** Deterministic positive pseudo-hash (xorshift-style, stable across JVMs). */
+  /** Deterministic positive pseudo-hash, CROSS-ENGINE RECOMPUTABLE: an LCG
+    * step mod 2^31-1 followed by the quadratic scramble the poly-hash family
+    * already uses (ops/Dedup.polyHash64). Every intermediate product stays
+    * under 2^63, so DuckDB BIGINT arithmetic reproduces it exactly — which
+    * is what lets the extraction CONTENT (cell strings, not just counts) be
+    * predicted by the SQL oracle (round-3 mix was a 64-bit xorshift needing
+    * wrapping multiplication, inexpressible in overflow-checked BIGINT).
+    */
   def mix(x: Long): Long = {
-    var h = x * 0x9E3779B97F4A7C15L
-    h ^= (h >>> 32)
-    h *= 0xBF58476D1CE4E5B9L
-    h ^= (h >>> 29)
-    h & Long.MaxValue
+    val m = 2147483647L
+    val p = ((x % m) * 1103515245L + 12345L) % m
+    (p * p % m + p) % m
   }
 
   def renderPage(docId: Long, text: String, lang: String): String = {
@@ -73,9 +78,10 @@ object SyntheticPages {
 
     if (docId % 3 == 0) {
       sb.append("<p>This is an interesting table:</p>")
-      // row COUNT is doc_id-derivable (4 + doc_id%4) so structural
-      // invariants (tables/rows/cells per url) are recomputable in pure SQL
-      // by the DuckDB oracle; cell CONTENT stays mix()-seeded for variety
+      // row COUNT is doc_id-derivable (4 + doc_id%4) AND cell content is
+      // mix()-seeded with the 31-bit recomputable hash, so both the
+      // structural invariants and the full cell strings are predictable by
+      // the DuckDB oracle (extract_invariants / extract_tables_flat)
       val rows = tableRows(4 + (docId % 4).toInt, 7)
       if (docId % 6 == 0) {
         // th-headed bordered table
