@@ -124,6 +124,15 @@ object Queries {
 
     "extract_tables_flat" -> ((s, dir) => flatCells(s, dir)),
 
+    // the north rule's "byte-identical extracted text per url", driver-
+    // checkable: md5 of the boilerplate-stripped main text, which the
+    // oracle reconstructs block by block (heading, kept paragraphs via the
+    // chunking arithmetic, page-2 heading, table intro, NFKC'd punctuation
+    // paragraph, mega-page repeats) without touching HTML
+    "extract_main_text" -> ((s, dir) =>
+      extracted(s, dir).toDF().select(
+        col("url"), md5(col("main_text")).as("main_text_md5"))),
+
     // per-url cell/row counts of the flatten — SQL-recomputable
     "extract_flat_counts" -> ((s, dir) =>
       flatCells(s, dir)
@@ -547,6 +556,44 @@ object Queries {
         |  CAST(sum(nrows * ncols) AS BIGINT) AS n_cells,
         |  CAST(sum(nrows) AS BIGINT) AS n_rows
         |FROM t GROUP BY doc_id""".stripMargin,
+    // main-text reconstruction: the kept-block sequence is a pure function
+    // of (doc_id, text, lang) — h1 heading, word-chunk paragraphs (kept at
+    // >= 10 chars, link-free), the page-2 h2, the m3 table intro, the
+    // NFKC-normalized punctuation paragraph (U+2026 -> "...", U+00B4 ->
+    // space + U+0301 — the literal below is the normalized form), and 60
+    // mega-page text repeats every 101st doc. Nav/header/footer are
+    // boilerplate (dropped); <pre> and table content never enter blocks.
+    "extract_main_text" ->
+      s"""WITH $docFlagsCte,
+        |seed AS (
+        |  SELECT f.doc_id, f.lang, f.m3, f.m5, d.text,
+        |    string_split(d.text, ' ') AS words,
+        |    (f.doc_id * 1103515245 + 12345) % 2147483647 AS pd
+        |  FROM f JOIN documents d ON d.doc_id = f.doc_id),
+        |chunked AS (
+        |  SELECT *, greatest(len(words) // (2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3), 1) AS chunk,
+        |    2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3 AS pc
+        |  FROM seed),
+        |paras AS (
+        |  SELECT *,
+        |    list_filter(
+        |      [array_to_string(words[j * chunk + 1 : least((j + 1) * chunk, len(words))], ' ')
+        |       for j in generate_series(0, pc - 1) if j * chunk < len(words)],
+        |      x -> length(x) >= 10) AS kept
+        |  FROM chunked),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    ['Synthetic page ' || CAST(doc_id AS VARCHAR)] || kept
+        |    || (CASE WHEN m5 = 1 THEN ['Second page heading'] ELSE [] END)
+        |    || (CASE WHEN m3 = 1 THEN ['This is an interesting table:'] ELSE [] END)
+        |    || (CASE WHEN lang <> 'en'
+        |         THEN ['Comillas «tipográficas» y guión—largo... ‘señal ́e’ suficiente longitud aquí.']
+        |         ELSE [] END)
+        |    || (CASE WHEN doc_id % 101 = 100 AND length(text) >= 10
+        |         THEN [text for i in generate_series(1, 60)] ELSE [] END) AS bl
+        |  FROM paras)
+        |SELECT $urlExpr AS url, md5(array_to_string(bl, chr(10))) AS main_text_md5
+        |FROM blocks""".stripMargin,
     // FULL CONTENT oracle (round-3 stretch): every flattened cell STRING is
     // recomputed from the generator arithmetic — vocab pick and population
     // via the 31-bit LCG+scramble hash (SyntheticPages.mix), span
