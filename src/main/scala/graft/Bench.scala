@@ -91,7 +91,7 @@ object Bench {
       "q_quality_score", "q_lang_id", "q_fingerprint_poly",
       "q_fingerprint_winnow", "q_merged_column_agreement",
       "q_repetition_signals", "q_dup_clusters", "q_curation_pipeline",
-      "q_url_canonical", "q_host_cap",
+      "q_url_canonical", "q_host_cap", "q_skew_cap_curation", "extract_main_text",
       "q_exact_dedup_md5", "q_dedup_incremental", "q_minhash_dedup", "q_simhash_dedup",
       "q_cosine_near_dup", "q_ann_topk", "q_ann_ivf", "q_multimodal_meta",
       "q_multimodal_ppm")
@@ -107,7 +107,28 @@ object Bench {
         val t = (1 to 3).map(_ => time(fn(spark, sfDir).count())).min
         name -> t
       }
-    }
+    } ++ (if (extractOnly) Seq.empty else {
+      // skew stressor (VERDICT r3 ask #8): the per-host cap + curation
+      // chain over a REPLICATED corpus where one planted mega-host carries
+      // ~33% of all rows — the measured lock on the round-3 skew-proofing
+      // (capPerHost's phase-1 map-side prune + the curation min_by
+      // partials). Replication multiplies the row count `replicate`-fold
+      // with unique doc_ids, so the hot host's raw row count dwarfs the
+      // cap and the prune is what keeps the window shuffle bounded.
+      val d = graft.core.DfCache.get(spark, s"$sfDir/documents.parquet")(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      val repl = d.select(col("doc_id"), col("text"))
+        .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+        .select((col("doc_id") * replicate + col("rep")).as("doc_id"), col("text"))
+      val host = when(col("doc_id") % 3 === 0, lit("mega.example.org"))
+        .otherwise(concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".example.org")))
+      val chain = graft.ops.Curation.curate(spark,
+        graft.ops.Salting.capPerHost(
+          repl.withColumn("host", host), col("host"), col("doc_id"), cap = 100)
+          .select(col("doc_id"), col("text")))
+      val t = (1 to 3).map(_ => time(chain.count())).min
+      Seq("skew_cap_curation_repl" -> t)
+    })
 
     // trimmed min: min of the reps EXCLUDING the single best one — robust
     // to one anomalously good window, while min-of-N stays the documented

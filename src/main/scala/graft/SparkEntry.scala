@@ -471,6 +471,19 @@ object Queries {
         col("host"), col("doc_id"), cap = 10)
     }),
 
+    // the crawl-shaped skew chain COMPOSED (VERDICT r3 ask #8): a planted
+    // mega-host carries ~33% of the corpus → per-host frequency cap
+    // (phase-1 map-side prune bounds the hot host's shuffle) → the full
+    // single-scan curation pass over the survivors. Oracle recomputes the
+    // cap with a window and replays the whole curation arithmetic.
+    "q_skew_cap_curation" -> ((s, dir) => {
+      val host = when(col("doc_id") % 3 === 0, lit("mega.example.org"))
+        .otherwise(concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".example.org")))
+      val withHost = docs(s, dir).select(col("doc_id"), col("text"), host.as("host"))
+      val capped = graft.ops.Salting.capPerHost(withHost, col("host"), col("doc_id"), cap = 40)
+      Curation.curate(s, capped.select(col("doc_id"), col("text")))
+    }),
+
     // broadcast dimension join: revenue cents per nation
     "q_join_agg_nation" -> ((s, dir) => {
       val o = orders(s, dir)
@@ -979,6 +992,54 @@ object Queries {
         |kept AS (
         |  SELECT h.doc_id, h.content_md5, q.n_tokens, q.n_chars, r.dup_bigram_x1000
         |  FROM h JOIN q USING (doc_id) JOIN r USING (doc_id)),
+        |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
+        |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
+        |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+    // same gates as q_curation_pipeline, but over the host-capped corpus
+    // (no planted twins — the cap itself creates the selection pressure)
+    "q_skew_cap_curation" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'mega.example.org'
+        |         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+        |    END AS host
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+        |  FROM h),
+        |corpus AS (SELECT doc_id, text FROM rk WHERE rk <= 40),
+        |q AS (
+        |  SELECT doc_id,
+        |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars
+        |  FROM corpus
+        |  WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |    AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
+        |    AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
+        |tok AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM corpus),
+        |bg AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
+        |  FROM tok),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |r AS (
+        |  SELECT doc_id, dup_bigram_x1000 FROM (
+        |    SELECT doc_id,
+        |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
+        |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
+        |    FROM c GROUP BY doc_id)
+        |  WHERE dup_bigram_x1000 <= 100),
+        |hh AS (SELECT doc_id, md5(text) AS content_md5 FROM corpus),
+        |kept AS (
+        |  SELECT hh.doc_id, hh.content_md5, q.n_tokens, q.n_chars, r.dup_bigram_x1000
+        |  FROM hh JOIN q USING (doc_id) JOIN r USING (doc_id)),
         |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
         |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
         |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
