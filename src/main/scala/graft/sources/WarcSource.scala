@@ -115,9 +115,16 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
+      // column pruning (Catalyst pushes the projection into the scan): a
+      // metadata-only query — `SELECT url FROM warc` over a 100 TB crawl —
+      // must not allocate or copy any page body; the reader skips payload
+      // bytes it won't emit (the gzip members still stream through, but
+      // nothing is buffered or envelope-stripped)
+      private var required: StructType = WarcSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
       override def build(): Scan = this
-      override def readSchema(): StructType = WarcSource.Schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val conf = WarcSource.sessionHadoopConf()
@@ -125,23 +132,28 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
         WarcSource.resolvePaths(props, conf)
           .map(WarcFilePartition(_, shipped): InputPartition).toArray
       }
-      override def createReaderFactory(): PartitionReaderFactory = new WarcReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory =
+        new WarcReaderFactory(required)
     }
 }
 
 final case class WarcFilePartition(path: String, conf: SerializableHadoopConf)
     extends InputPartition
 
-final class WarcReaderFactory extends PartitionReaderFactory {
+final class WarcReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcFilePartition]
-    new WarcPartitionReader(p.path, p.conf.value)
+    new WarcPartitionReader(p.path, p.conf.value, required)
   }
 }
 
-/** Streaming WARC record parser over one file. */
+/** Streaming WARC record parser over one file, emitting only the pruned
+  * `required` columns (in the pruned order).
+  */
 final class WarcPartitionReader(path: String,
-    hadoopConf: org.apache.hadoop.conf.Configuration) extends PartitionReader[InternalRow] {
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    required: StructType = WarcSource.Schema) extends PartitionReader[InternalRow] {
+  private val wantHtml = required.fieldNames.contains("html")
   private val in = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
@@ -162,20 +174,24 @@ final class WarcPartitionReader(path: String,
   override def next(): Boolean = {
     current = null
     while (current == null) {
-      WarcParse.readRecord(in) match {
+      WarcParse.readRecord(in, wantPayload = wantHtml) match {
         case None => return false
         case Some((headers, payload)) =>
           val recType = headers.getOrElse("warc-type", "")
           if (recType == "response" || recType == "resource") {
-            val url = headers.getOrElse("warc-target-uri", "")
-            // no/unparseable WARC-Date => null (the schema is nullable; a
-            // 0L default would be indistinguishable from a genuine epoch ts)
-            val micros: Any =
-              headers.get("warc-date").flatMap(WarcParse.isoMicros).map(Long.box).orNull
-            val body =
-              if (recType == "response") WarcParse.stripHttpEnvelope(payload) else payload
-            current = new GenericInternalRow(Array[Any](
-              UTF8String.fromString(url), micros, body))
+            val values = required.fieldNames.map {
+              case "url" =>
+                UTF8String.fromString(headers.getOrElse("warc-target-uri", "")): Any
+              // no/unparseable WARC-Date => null (the schema is nullable; a
+              // 0L default would be indistinguishable from a real epoch ts)
+              case "warc_ts" =>
+                headers.get("warc-date").flatMap(WarcParse.isoMicros).map(Long.box).orNull: Any
+              case "html" =>
+                (if (recType == "response") WarcParse.stripHttpEnvelope(payload)
+                 else payload): Any
+              case other => throw new IllegalArgumentException(s"unknown WARC column $other")
+            }
+            current = new GenericInternalRow(values.toArray[Any])
           }
       }
     }
@@ -190,8 +206,12 @@ private[sources] object WarcParse {
 
   /** Read one record: header block up to a blank line, then Content-Length
     * payload bytes, then the record separator CRLFs. None at EOF.
+    * With `wantPayload = false` the payload bytes are skipped, not
+    * buffered (column-pruned scans never materialize page bodies); the
+    * returned payload is then empty.
     */
-  def readRecord(in: java.io.InputStream): Option[(Map[String, String], Array[Byte])] = {
+  def readRecord(in: java.io.InputStream,
+      wantPayload: Boolean = true): Option[(Map[String, String], Array[Byte])] = {
     val headerLines = scala.collection.mutable.ArrayBuffer.empty[String]
     var line = readLine(in)
     // skip inter-record blank lines
@@ -210,6 +230,20 @@ private[sources] object WarcParse {
     }.toMap
     val len = headers.get("content-length").flatMap(_.toLongOption).getOrElse(0L)
     if (len > Int.MaxValue) throw new java.io.IOException(s"record too large: $len")
+    if (!wantPayload) {
+      var remaining = len
+      while (remaining > 0) {
+        val n = in.skip(remaining)
+        if (n <= 0) {
+          // skip() can legitimately return 0 on a ready stream; fall back
+          // to a read to distinguish stall from EOF
+          if (in.read() < 0)
+            throw new java.io.EOFException(s"truncated WARC record (want $len bytes)")
+          remaining -= 1
+        } else remaining -= n
+      }
+      return Some((headers, Array.emptyByteArray))
+    }
     val payload = new Array[Byte](len.toInt)
     var off = 0
     while (off < payload.length) {

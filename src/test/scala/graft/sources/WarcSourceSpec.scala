@@ -147,6 +147,40 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(spark.read.format("warc").load(dir).count() == 2)
   }
 
+  test("column pruning: a metadata-only scan reads url without materializing bodies") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-prune").toString + "/corpus"
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val pages = Seq(
+      graft.pipeline.Page("https://ex.org/a", ts, html1.getBytes(UTF_8), "", "en"),
+      graft.pipeline.Page("https://ex.org/b", ts, html2.getBytes(UTF_8), "", "en")).toDS()
+    WarcWriter.writeCorpus(spark, pages, dir)
+    val df = spark.read.format("warc").load(dir).select(col("url"))
+    // the projection reaches the scan (pruneColumns), so the reader takes
+    // the skip-payload path — page bodies are never buffered
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("url"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq
+      == Seq("https://ex.org/a", "https://ex.org/b"))
+    // pruned-order subset with a different column arrangement still works
+    val two = spark.read.format("warc").load(dir)
+      .select(col("warc_ts"), col("url")).collect()
+    assert(two.forall(r => r.getTimestamp(0).getTime == ts.getTime))
+    // direct parser check: skip mode leaves the stream positioned at the
+    // next record and returns an empty payload
+    val bytes = record("response", "https://ex.org/p", "2025-01-01T00:00:00Z", httpResponse(html1)) ++
+      record("response", "https://ex.org/q", "2025-01-01T00:00:00Z", httpResponse(html2))
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val Some((h1, p1)) = WarcParse.readRecord(in, wantPayload = false)
+    assert(h1("warc-target-uri") == "https://ex.org/p" && p1.isEmpty)
+    val Some((h2, p2)) = WarcParse.readRecord(in, wantPayload = true)
+    assert(h2("warc-target-uri") == "https://ex.org/q")
+    assert(new String(p2, UTF_8).endsWith(html2))
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
