@@ -113,7 +113,7 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
   override def name(): String = s"warc(${props.getOrElse("path", props.getOrElse("paths", ""))})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
       // column pruning (Catalyst pushes the projection into the scan): a
@@ -134,7 +134,65 @@ final class WarcTable(props: Map[String, String]) extends Table with SupportsRea
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new WarcReaderFactory(required)
+      override def toMicroBatchStream(checkpointLocation: String):
+          org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new WarcMicroBatchStream(props, required)
     }
+}
+
+/** Micro-batch streaming over a growing crawl directory
+  * (`spark.readStream.format("warc").load(dir)`): each batch reads the
+  * WARC files that appeared since the last committed offset — the
+  * continuous-ingestion half of a crawl pipeline (segments land as
+  * immutable `.warc.gz` files; Common Crawl publishes them exactly so).
+  *
+  * Offsets are the SET of already-seen file paths, serialized as a JSON
+  * array — explicit rather than a high-watermark because crawl segment
+  * names need not arrive in lexicographic order. At Common-Crawl scale
+  * (~10^4-10^5 files per snapshot) the offset is a few MB of checkpoint
+  * state, the same order as the built-in FileStreamSource's seen-files
+  * log. Files must be immutable once visible (the standard crawl-segment
+  * contract); one input partition per new file, same reader (and column
+  * pruning) as the batch path.
+  */
+final class WarcMicroBatchStream(props: Map[String, String], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private val conf = WarcSource.sessionHadoopConf()
+  private val shipped = new SerializableHadoopConf(conf)
+
+  override def initialOffset(): SOffset = WarcStreamOffset(Vector.empty)
+
+  override def latestOffset(): SOffset =
+    WarcStreamOffset(
+      try WarcSource.resolvePaths(props, conf).toVector
+      catch { case _: java.io.FileNotFoundException => Vector.empty }) // dir not created yet
+
+  override def deserializeOffset(json: String): SOffset =
+    WarcStreamOffset(graft.core.JVal.parse(json) match {
+      case graft.core.JVal.JArr(items) =>
+        items.collect { case graft.core.JVal.JStr(s) => s }.toVector
+      case other => throw new IllegalArgumentException(s"bad WARC offset: $other")
+    })
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
+    end.asInstanceOf[WarcStreamOffset].files
+      .filterNot(seen)
+      .map(WarcFilePartition(_, shipped): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new WarcReaderFactory(required)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class WarcStreamOffset(files: Vector[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(graft.core.JVal.quote).mkString("[", ",", "]")
 }
 
 final case class WarcFilePartition(path: String, conf: SerializableHadoopConf)

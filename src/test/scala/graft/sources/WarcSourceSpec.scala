@@ -181,6 +181,40 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(new String(p2, UTF_8).endsWith(html2))
   }
 
+  test("streaming: new crawl segments are ingested incrementally, offsets round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-stream").toString
+    val ckpt = Files.createTempDirectory("graft-warc-stream-ckpt").toString
+    writeWarc(dir, "seg-001.warc",
+      record("response", "https://s.org/1", "2025-01-01T00:00:00Z", httpResponse(html1)))
+    val q = spark.readStream.format("warc").load(dir)
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 1)
+      // two more segments land (one multi-record): only the NEW files read
+      writeWarc(dir, "seg-002.warc",
+        record("response", "https://s.org/2", "2025-01-01T00:01:00Z", httpResponse(html2)),
+        record("request", "https://s.org/2", "2025-01-01T00:01:00Z", "GET /".getBytes(UTF_8)),
+        record("response", "https://s.org/3", "2025-01-01T00:02:00Z", httpResponse(html1)))
+      q.processAllAvailable()
+      val urls = spark.table("warc_stream").select(col("url")).as[String].collect().sorted.toSeq
+      assert(urls == Seq("https://s.org/1", "https://s.org/2", "https://s.org/3"))
+      // idle trigger with no new files adds nothing
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 3)
+    } finally q.stop()
+    // offset serialization round-trip + batch diff = only unseen files
+    val stream = new WarcMicroBatchStream(Map("path" -> dir), WarcSource.Schema)
+    val off = stream.latestOffset().asInstanceOf[WarcStreamOffset]
+    assert(off.files.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
+      == Vector("seg-001.warc", "seg-002.warc"))
+    assert(stream.deserializeOffset(off.json()) == off)
+    val parts = stream.planInputPartitions(WarcStreamOffset(Vector(off.files.head)), off)
+    assert(parts.length == off.files.length - 1)
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
