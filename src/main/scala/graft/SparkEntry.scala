@@ -569,6 +569,109 @@ object Queries {
         |  CAST(sum(nrows * ncols) AS BIGINT) AS n_cells,
         |  CAST(sum(nrows) AS BIGINT) AS n_rows
         |FROM t GROUP BY doc_id""".stripMargin,
+    // FULL extract_pages oracle (closes the last extraction no_oracle):
+    // every column — the exact main_text STRING (block reconstruction, same
+    // as extract_main_text), structural counts, and html_bytes, the total
+    // UTF-8 byte length of the rendered page predicted by pure arithmetic:
+    // fixed scaffolding constants + doc_id digit counts + paragraph slice
+    // lengths + per-row vocab/population byte lengths (octet_length over
+    // the vocab VALUES — the non-ASCII names carry multi-byte chars) +
+    // span-digit/pre-padding/punctuation/mega-repeat terms. Validated
+    // byte-exact on all 500 sf0.01 docs before registration.
+    "extract_pages" ->
+      s"""WITH $docFlagsCte,
+        |vocab(vi, cn, sn, st) AS (VALUES
+        |  (0, 'Lantern Fox', 'Vulpes lucerna', 'stable'),
+        |  (1, 'Glass Frog', 'Rana vitrea', 'declining'),
+        |  (2, 'Ember Owl', 'Bubo prunae', 'endangered'),
+        |  (3, 'Mirror Carp', 'Cyprinus speculum', 'stable'),
+        |  (4, 'Dusk Moth', 'Tinea crepusculi', 'unknown'),
+        |  (5, 'Señor Ibis', 'Eudocimus señorius', 'vulnerable'),
+        |  (6, 'Straße Shrew', 'Sorex stratae', 'stable'),
+        |  (7, 'Café Finch', 'Fringilla cafeata', 'declining')),
+        |seed AS (
+        |  SELECT f.doc_id, f.lang, f.m3, f.m6, f.m9, f.m5, f.main_rows, d.text,
+        |    string_split(d.text, ' ') AS words,
+        |    (f.doc_id * 1103515245 + 12345) % 2147483647 AS pd
+        |  FROM f JOIN documents d ON d.doc_id = f.doc_id),
+        |chunked AS (
+        |  SELECT *, greatest(len(words) // (2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3), 1) AS chunk,
+        |    2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3 AS pc
+        |  FROM seed),
+        |paras AS (
+        |  SELECT *,
+        |    [array_to_string(words[j * chunk + 1 : least((j + 1) * chunk, len(words))], ' ')
+        |     for j in generate_series(0, pc - 1) if j * chunk < len(words)] AS allp
+        |  FROM chunked),
+        |parax AS (
+        |  SELECT *, list_filter(allp, x -> length(x) >= 10) AS kept,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), [7 + length(p) for p in allp]), (a, b) -> a + b) AS para_bytes
+        |  FROM paras),
+        |mainseed AS (
+        |  SELECT doc_id, u.i AS ri,
+        |    ((doc_id + 7 + u.i) * 1103515245 + 12345) % 2147483647 AS pv,
+        |    ((doc_id * 31 + u.i) * 1103515245 + 12345) % 2147483647 AS pp
+        |  FROM f, UNNEST(generate_series(0, main_rows - 1)) u(i) WHERE m3 = 1),
+        |mainrow AS (
+        |  SELECT doc_id, ri,
+        |    CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi,
+        |    (pp * pp % 2147483647 + pp) % 2147483647 % 9000 + 100 AS pop
+        |  FROM mainseed),
+        |main_sum AS (
+        |  SELECT doc_id, CAST(sum(45 + octet_length(encode(v.cn)) + octet_length(encode(v.sn)) + octet_length(encode(v.st))
+        |    + length(CAST(pop AS VARCHAR))) AS BIGINT) AS b
+        |  FROM mainrow JOIN vocab v USING (vi) GROUP BY doc_id),
+        |contseed AS (
+        |  SELECT doc_id, ((doc_id + 23 + u.i) * 1103515245 + 12345) % 2147483647 AS pv
+        |  FROM f, UNNEST(generate_series(0, 2)) u(i) WHERE m5 = 1),
+        |cont_sum AS (
+        |  SELECT doc_id, CAST(sum(27 + octet_length(encode(v.cn)) + octet_length(encode(v.sn))) AS BIGINT) AS b
+        |  FROM (SELECT doc_id, CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi FROM contseed)
+        |  JOIN vocab v USING (vi) GROUP BY doc_id),
+        |preseed7 AS (
+        |  SELECT doc_id,
+        |    ((doc_id + 13 + u.i) * 1103515245 + 12345) % 2147483647 AS pv
+        |  FROM f, UNNEST(generate_series(0, 2)) u(i) WHERE doc_id % 7 = 1),
+        |pre_sum AS (
+        |  SELECT doc_id, CAST(sum(30 + octet_length(encode(v.cn)) - length(v.cn) + length(v.st)) AS BIGINT) AS b
+        |  FROM (SELECT doc_id, CAST((pv * pv % 2147483647 + pv) % 2147483647 % 8 AS INT) AS vi FROM preseed7)
+        |  JOIN vocab v USING (vi) GROUP BY doc_id),
+        |kseed AS (
+        |  SELECT doc_id, ((doc_id + 3) * 1103515245 + 12345) % 2147483647 AS pk FROM f WHERE m9 = 1),
+        |kdig AS (
+        |  SELECT doc_id, length(CAST((pk * pk % 2147483647 + pk) % 2147483647 % 100 AS VARCHAR)) AS d
+        |  FROM kseed),
+        |blocks AS (
+        |  SELECT p.doc_id, p.lang, p.m3, p.m6, p.m9, p.m5, p.text, p.para_bytes,
+        |    ['Synthetic page ' || CAST(p.doc_id AS VARCHAR)] || p.kept
+        |    || (CASE WHEN p.m5 = 1 THEN ['Second page heading'] ELSE [] END)
+        |    || (CASE WHEN p.m3 = 1 THEN ['This is an interesting table:'] ELSE [] END)
+        |    || (CASE WHEN p.lang <> 'en'
+        |         THEN ['Comillas «tipográficas» y guión—largo... ‘señal ́e’ suficiente longitud aquí.']
+        |         ELSE [] END)
+        |    || (CASE WHEN p.doc_id % 101 = 100 AND length(p.text) >= 10
+        |         THEN [p.text for i in generate_series(1, 60)] ELSE [] END) AS bl
+        |  FROM parax p)
+        |SELECT printf('https://synthetic.example.org/doc/%08d', b.doc_id) AS url, b.lang,
+        |  array_to_string(b.bl, chr(10)) AS main_text,
+        |  CAST(f.m3 + f.m9 + f.m5 + f.pre AS INT) AS n_tables,
+        |  CAST(f.m3 + f.m9 + f.m5 + f.pre AS INT) AS n_spans,
+        |  'ok' AS status,
+        |  CAST(425 + 2 * length(CAST(b.doc_id AS VARCHAR))
+        |    + b.para_bytes
+        |    + CASE WHEN b.m5 = 1 THEN 121 + coalesce(cs.b, 0) ELSE 0 END
+        |    + CASE WHEN b.m3 = 1 THEN 36 + CASE WHEN b.m6 = 1 THEN 104 ELSE 7 END + coalesce(ms.b, 0) + 8 ELSE 0 END
+        |    + CASE WHEN b.m9 = 1 THEN 172 + coalesce(kd.d, 0) ELSE 0 END
+        |    + CASE WHEN b.doc_id % 7 = 1 THEN 41 + coalesce(ps.b, 0) + 6 ELSE 0 END
+        |    + CASE WHEN b.lang <> 'en' THEN 96 ELSE 0 END
+        |    + CASE WHEN b.doc_id % 101 = 100 THEN 60 * (7 + length(b.text)) ELSE 0 END
+        |   AS BIGINT) AS html_bytes
+        |FROM blocks b
+        |JOIN f ON f.doc_id = b.doc_id
+        |LEFT JOIN main_sum ms ON ms.doc_id = b.doc_id
+        |LEFT JOIN cont_sum cs ON cs.doc_id = b.doc_id
+        |LEFT JOIN pre_sum ps ON ps.doc_id = b.doc_id
+        |LEFT JOIN kdig kd ON kd.doc_id = b.doc_id""".stripMargin,
     // main-text reconstruction: the kept-block sequence is a pure function
     // of (doc_id, text, lang) — h1 heading, word-chunk paragraphs (kept at
     // >= 10 chars, link-free), the page-2 h2, the m3 table intro, the
