@@ -332,6 +332,13 @@ object Text {
       .toList
   }
 
+  /** parse_column_names_hints — /root/reference/src/paper2table/hints.py:4-5:
+    * schema tokenization (comments stripped, comma/whitespace split) then
+    * column-name normalization per hint.
+    */
+  def parseColumnNamesHints(hints: String): List[String] =
+    tokenizeSchema(hints).map(normalizeColumnName)
+
   // ---------------------------------------------------------------------
   // unidecode subset (tablesfile_merger.py:36-46, analyzers.py:339-343)
   // ---------------------------------------------------------------------
