@@ -471,6 +471,17 @@ object Queries {
         col("host"), col("doc_id"), cap = 10)
     }),
 
+    // deterministic training-mix sampling: per-source keep rates resolved
+    // to fixed bucket thresholds over the cross-engine poly hash — a pure
+    // narrow filter (no shuffle, no RNG; identical kept set under any
+    // partitioning, unlike df.sample). Oracle recomputes the buckets.
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)),
+
     // the crawl-shaped skew chain COMPOSED (VERDICT r3 ask #8): a planted
     // mega-host carries ~33% of the corpus → per-host frequency cap
     // (phase-1 map-side prune bounds the hot host's shuffle) → the full
@@ -1098,6 +1109,16 @@ object Queries {
         |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
         |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
         |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH ph AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      [unicode(c) for c in regexp_split_to_array(CAST(doc_id AS VARCHAR), '')]),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source FROM ph
+        |WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                           WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
     // same gates as q_curation_pipeline, but over the host-capped corpus
     // (no planted twins — the cap itself creates the selection pressure)
     "q_skew_cap_curation" ->

@@ -146,6 +146,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.shinglesOf("  aa bb cc  ", 3).toSet == Set("aa bb cc"))
   }
 
+  test("stratified sampling is deterministic, partitioning-invariant, rate-faithful") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def run(parts: Int) = Sampling.stratifiedSample(
+      rows.repartition(parts), col("source"), col("doc_id"), rates, defaultRate = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val got = run(7)
+    assert(got == run(1)) // same kept set under any partitioning (df.sample is not)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("src0", 0) == 1000) // rate 1.0 keeps everything
+    assert(!bySrc.contains("src2")) // rate 0.0 keeps nothing
+    val s1 = bySrc.getOrElse("src1", 0) // ~500 of 1000 at rate 0.5
+    assert(s1 > 400 && s1 < 600, s"src1 kept $s1")
+    val s3 = bySrc.getOrElse("src3", 0) // default 0.1 -> ~100 of 1000
+    assert(s3 > 50 && s3 < 150, s"src3 kept $s3")
+  }
+
+  test("train/holdout split is disjoint, complete, and id-stable as the corpus grows") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val (train, holdout) = Sampling.trainHoldoutSplit(ids, col("doc_id"), holdoutPermille = 100)
+    val t = train.collect().map(_.getLong(0)).toSet
+    val h = holdout.collect().map(_.getLong(0)).toSet
+    assert((t & h).isEmpty)
+    assert(t.size + h.size == 2000)
+    assert(h.size > 100 && h.size < 300, s"holdout ${h.size}") // ~10%
+    // growing the corpus never moves an existing id across the split
+    val (_, holdout2) = Sampling.trainHoldoutSplit(
+      (0L until 4000L).toDF("doc_id"), col("doc_id"), holdoutPermille = 100)
+    val h2 = holdout2.collect().map(_.getLong(0)).toSet
+    assert(h2.filter(_ < 2000L) == h)
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
