@@ -482,6 +482,15 @@ object Queries {
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultRate = 0.1)),
 
+    // token/char-budget capping per stratum ("fill each source to N
+    // units"): lowest-id docs kept while the running n_chars sum stays
+    // within budget — phase-1 local-prefix prune + exact window. Oracle
+    // recomputes the running sum.
+    "q_token_budget_cap" -> ((s, dir) =>
+      graft.ops.Salting.capPerStratumBudget(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), budget = 3000L)),
+
     // the crawl-shaped skew chain COMPOSED (VERDICT r3 ask #8): a planted
     // mega-host carries ~33% of the corpus → per-host frequency cap
     // (phase-1 map-side prune bounds the hot host's shuffle) → the full
@@ -1109,6 +1118,13 @@ object Queries {
         |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
         |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
         |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+    "q_token_budget_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE running <= 3000""".stripMargin,
     "q_stratified_sample" ->
       """WITH ph AS (
         |  SELECT doc_id, source,

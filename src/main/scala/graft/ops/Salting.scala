@@ -51,6 +51,64 @@ object Salting {
     * kept sample depend on partitioning; cast/compose a unique long key
     * first.
     */
+  /** Budget-capped stratum sampling — the token-budget variant of
+    * [[capPerHost]] (training-mix construction: "fill each source to N
+    * tokens"): keep each stratum's lowest-`orderCol` rows while the running
+    * sum of `weightCol` (token/char counts — must be positive) stays within
+    * `budget`, deterministically under any partitioning.
+    *
+    * Scale shape: phase 1 sorts within partitions on (stratum, order) and
+    * streams a per-partition running sum, keeping rows while the LOCAL
+    * running sum is within budget PLUS the first overflowing row (the
+    * boundary). Dropping strictly-after-boundary rows is safe because the
+    * local prefix is a subset of the global one; keeping the boundary is
+    * NECESSARY — its local prefix-inclusive sum alone proves every later
+    * global row over budget, so phase 2's window (which only sees pruned
+    * rows) still reaches the proof weight. (Dropping the boundary too made
+    * a later row from another partition sneak under the under-counted
+    * running sum — caught by the partitioning-invariance spec.) Surviving
+    * rows per (partition, stratum) are bounded by budget/min(weight) + 1.
+    * Phase 2 is the exact global running-sum window over the pruned set.
+    */
+  def capPerStratumBudget(
+      df: DataFrame, stratumCol: Column, orderCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    val h = "__graft_budget_stratum"
+    val o = "__graft_budget_order"
+    val wgt = "__graft_budget_weight"
+    val run = "__graft_budget_running"
+    val tagged = df.withColumn(h, stratumCol).withColumn(o, orderCol)
+      .withColumn(wgt, weightCol.cast("long"))
+      .sortWithinPartitions(col(h), col(o))
+    val schema = tagged.schema
+    val hIdx = schema.fieldIndex(h)
+    val wIdx = schema.fieldIndex(wgt)
+    import org.apache.spark.sql.{Encoders, Row}
+    val pruned = tagged.mapPartitions { it =>
+      // rows arrive grouped by stratum (sorted) — O(1) state per task
+      var current: Any = null
+      var acc = 0L
+      var started = false
+      var overflowed = false
+      it.filter { r =>
+        val s = r.get(hIdx)
+        if (!started || s != current) { current = s; acc = 0L; overflowed = false; started = true }
+        if (overflowed) false
+        else {
+          acc += r.getLong(wIdx)
+          if (acc > budget) overflowed = true // keep THIS boundary row, drop the rest
+          true
+        }
+      }
+    }(Encoders.row(schema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(h)).orderBy(col(o).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pruned.withColumn(run, sum(col(wgt)).over(w))
+      .filter(col(run) <= budget)
+      .drop(run, h, o, wgt)
+  }
+
   def capPerHost(df: DataFrame, hostCol: Column, orderCol: Column, cap: Int): DataFrame = {
     val h = "__graft_cap_host"
     val o = "__graft_cap_order"

@@ -179,6 +179,25 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got == run(1)) // deterministic under repartitioning
   }
 
+  test("budget cap keeps lowest-id rows within the running-weight budget, partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => (i.toLong, s"s${i % 3}", 10L + (i % 4)))
+    val df = rows.toDF("doc_id", "src", "w")
+    def run(parts: Int) = Salting.capPerStratumBudget(
+      df.repartition(parts), col("src"), col("doc_id"), col("w"), budget = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val got = run(5)
+    assert(got == run(1)) // deterministic under repartitioning
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var sum = 0L
+      rs.sortBy(_._1).takeWhile { r => sum += r._3; sum <= 40 }
+    }.map(r => (r._1, r._2)).sortBy(_._1)
+    assert(got == want)
+    // a single over-budget first row keeps nothing from its stratum
+    val big = Seq((1L, "s0", 100L), (2L, "s0", 1L)).toDF("doc_id", "src", "w")
+    assert(Salting.capPerStratumBudget(big, col("src"), col("doc_id"), col("w"), 40).count() == 0)
+  }
+
   test("incremental dedup: ledger rejects known hashes, batch keeps min id") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
