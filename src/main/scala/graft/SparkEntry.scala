@@ -311,6 +311,12 @@ object Queries {
         graft.ops.UrlOps.urlHost(messy).as("host"))
     }),
 
+    // corpus-frequency (unigram-LM-style) quality: top-200 vocab via
+    // orderBy+limit (k-bounded TakeOrderedAndProject), broadcast into the
+    // per-doc OOV/vocab-mass aggregation — integer-exact cross-engine
+    "q_token_freq_quality" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencyScore(docs(s, dir), k = 200)),
+
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
@@ -978,6 +984,20 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "q_token_freq_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+        |  ORDER BY freq DESC, tok ASC LIMIT 200),
+        |j AS (SELECT t.doc_id, v.freq FROM tok t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(coalesce(freq, 0)) AS BIGINT) AS vocab_mass
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |           FROM documents),

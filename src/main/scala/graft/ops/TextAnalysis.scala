@@ -41,6 +41,39 @@ object TextAnalysis {
       .select("doc_id", "n_chars", "n_tokens", "n_alpha", "n_punct", "quality_ok")
   }
 
+  /** Corpus-frequency quality signals — the unigram-LM-style filter a
+    * training pipeline cuts on (rare-token / OOV-heavy docs are usually
+    * boilerplate, markup debris or non-language): per document, over
+    * lowercase token OCCURRENCES,
+    *   n_tokens     total occurrences,
+    *   n_oov        occurrences outside the corpus top-`k` vocabulary,
+    *   vocab_mass   Σ corpus-frequency of each occurrence's token (BIGINT —
+    *                integer-exact across engines, unlike a log-prob).
+    *
+    * Scale shape: the vocabulary is one scalar-token shuffle
+    * (explode + count) reduced to k rows via orderBy+limit
+    * (TakeOrderedAndProject — driver/broadcast state is k-bounded at any
+    * corpus size, ties broken deterministically by token), then
+    * BROADCAST-joined into the per-doc aggregation, so the corpus text
+    * never shuffles and the wide edge carries only (doc_id, freq) scalars.
+    * At 100 TB you compute the vocab once and reuse it across runs; the
+    * composed form here recomputes it per action for oracle determinism.
+    */
+  def tokenFrequencyScore(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("freq"), lit(0L))).as("vocab_mass"))
+  }
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic. */
   val Stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "for", "with", "that", "this"),
