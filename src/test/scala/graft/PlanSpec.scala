@@ -32,6 +32,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("stratified sampling is a pure narrow filter: zero Exchange") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("token-budget cap: exactly one Exchange (the post-prune window shuffle)") {
+    val p = plan("q_token_budget_cap")
+    assert(p.split("Exchange").length - 1 == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("token-frequency quality: k-bounded vocab broadcast, no text on the wide edge") {
+    val p = plan("q_token_freq_quality")
+    // the top-k vocab reduces via TakeOrderedAndProject (driver state
+    // k-bounded) and enters the per-doc agg as a broadcast hash join
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("extraction stage is narrow: no Exchange in the transform-only plan") {
     import spark.implicits._
     val pages = graft.pages.SyntheticPages.pages(spark, sfDir)
