@@ -454,6 +454,12 @@ object Queries {
     // must agree with a party that never parses the bytes
     "q_multimodal_ppm" -> ((s, dir) => Multimodal.ppmMetaQuery(s, dir)),
 
+    // REAL image resize: factor-2 average pooling over the decoded P6
+    // plane; the oracle predicts every pooled value from the generator
+    // arithmetic ((doc_id + plane_index) % 256) without parsing bytes —
+    // pooled total + positional 31-bit polynomial pin the values exactly
+    "q_multimodal_resize" -> ((s, dir) => Multimodal.ppmResizeQuery(s, dir)),
+
     // deterministic skew salting: per-host stats where one synthetic host
     // holds ~33% of rows; two-phase salted agg, result salt-invariant
     "q_host_stats_salted" -> ((s, dir) => {
@@ -1382,6 +1388,29 @@ object Queries {
         |SELECT doc_id, width, height, 255 AS maxval,
         |  CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    // pooled value (oy, ox, c) = floor(mean of the 2x2 block) where pixel
+    // (x, y, c) = (doc_id + (y*w + x)*3 + c) % 256 — linear index i maps
+    // to oy = i // (ow*3), ox = (i // 3) % ow, c = i % 3, block element j
+    // to dy = j // 2, dx = j % 2
+    "q_multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+        |         CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM dims),
+        |pv AS (
+        |  SELECT doc_id, ow, oh,
+        |    [list_sum([(doc_id + (((i // (ow*3)) * 2 + j // 2) * w
+        |                          + ((i // 3) % ow) * 2 + (j % 2)) * 3 + i % 3) % 256
+        |               for j in generate_series(0, 3)]) // 4
+        |     for i in generate_series(0, oh * ow * 3 - 1)] AS vals
+        |  FROM o)
+        |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals), (a, b) -> a + b) AS BIGINT)
+        |    AS pooled_sum,
+        |  CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), vals),
+        |    (acc, v) -> (acc * 31 + v) % 2147483647) AS BIGINT) AS pooled_poly
+        |FROM pv""".stripMargin,
     // NOTE: every aggregate sum() below is wrapped CAST(sum(...) AS BIGINT):
     // DuckDB widens sum() to HUGEINT, which pandas renders as float64
     // ("6.0" vs Spark's "6") and the driver's value hash never matches.

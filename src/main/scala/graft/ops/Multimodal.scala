@@ -105,9 +105,24 @@ object Multimodal {
 
   /** REAL P6 decoder: parses magic, comments, dimensions, maxval, then the
     * raw RGB plane. None on malformed input (bad magic, short data,
-    * non-numeric header fields).
+    * non-numeric header fields). This summary form never materializes the
+    * plane; [[decodePpmPixels]] returns it for transforms.
     */
-  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    decodePpmPixels(payload).map { case (w, h, maxval, off, _) =>
+      var sum = 0L
+      var i = 0
+      while (i < 3 * w * h) {
+        sum += payload(off + i) & 0xff
+        i += 1
+      }
+      (w, h, maxval, sum)
+    }
+
+  /** Header parse + plane location: (w, h, maxval, plane offset into the
+    * payload, plane length). None on malformed input.
+    */
+  def decodePpmPixels(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     var pos = 0
     def skipSpaceAndComments(): Unit = {
       var go = true
@@ -146,13 +161,7 @@ object Multimodal {
         }
       } yield {
         val (off, need) = data
-        var sum = 0L
-        var i = 0
-        while (i < need) {
-          sum += payload(off + i) & 0xff
-          i += 1
-        }
-        (w, h, maxval, sum)
+        (w, h, maxval, off, need)
       }
     }
   }
@@ -164,6 +173,79 @@ object Multimodal {
       spark.read.parquet(s"$sfDir/documents.parquet"))
       .select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, ppmPayload(id)))
+  }
+
+  final case class PpmResized(
+      doc_id: Long, out_w: Int, out_h: Int, pooled_sum: Long, pooled_poly: Long)
+
+  /** REAL image resize (the transform the brief lists alongside decode):
+    * factor-`f` average pooling over the decoded RGB plane — output value
+    * (oy, ox, c) = floor(mean of the f×f block) per channel, full blocks
+    * only (out = in/f). Emits integer summaries — the pooled-value total
+    * and the 31-bit polynomial over the pooled sequence in (oy, ox, c)
+    * order — so an independent engine verifies every pooled value exactly
+    * (the oracle PREDICTS them from the generator arithmetic without
+    * parsing a byte, like q_multimodal_ppm). Narrow typed pass; payloads
+    * never shuffle.
+    */
+  def avgPoolPpm(payload: Array[Byte], f: Int): Option[PpmResizedValues] =
+    decodePpmPixels(payload).flatMap { case (w, h, _, off, _) =>
+      val ow = w / f
+      val oh = h / f
+      if (ow == 0 || oh == 0) None
+      else {
+        val vals = new Array[Int](oh * ow * 3)
+        var i = 0
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var c = 0
+            while (c < 3) {
+              var acc = 0
+              var dy = 0
+              while (dy < f) {
+                var dx = 0
+                while (dx < f) {
+                  val idx = ((oy * f + dy) * w + (ox * f + dx)) * 3 + c
+                  acc += payload(off + idx) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              vals(i) = acc / (f * f)
+              i += 1
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        Some(PpmResizedValues(ow, oh, vals))
+      }
+    }
+
+  final case class PpmResizedValues(out_w: Int, out_h: Int, values: Array[Int])
+
+  /** Resize the synthetic PPM corpus (factor 2) to integer summaries. */
+  def ppmResizeQuery(spark: SparkSession, sfDir: String, factor: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          avgPoolPpm(m.payload, factor).map { r =>
+            var poly = 7L
+            var sum = 0L
+            r.values.foreach { v =>
+              sum += v
+              poly = (poly * 31 + v) % 2147483647L
+            }
+            PpmResized(m.doc_id, r.out_w, r.out_h, sum, poly)
+          }
+        }
+      }
+    }.toDF()
   }
 
   /** Decode the PPM table with the REAL parser (batched like decodeBatched). */

@@ -212,6 +212,22 @@ class DupClustersSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(3L, 9L))
   }
 
+  test("PPM average-pool resize: hand image pools per channel, malformed input skipped") {
+    // 2x2 RGB with byte values = plane index: pooled (1x1) channel c =
+    // floor(mean of indices {c, c+3, c+6, c+9}) = c + 4
+    val hand = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.tabulate(12)(_.toByte))
+    val r = Multimodal.avgPoolPpm(hand, 2).get
+    assert((r.out_w, r.out_h) == (1, 1))
+    assert(r.values.toSeq == Seq(4, 5, 6))
+    // odd dimension truncates to full blocks; 1-pixel-high image at f=2 -> None
+    val thin = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(Multimodal.avgPoolPpm(thin, 2).isEmpty)
+    assert(Multimodal.avgPoolPpm("garbage".getBytes("US-ASCII"), 2).isEmpty)
+    // f=1 is the identity pooling
+    val id = Multimodal.avgPoolPpm(thin, 1).get
+    assert(id.values.toSeq == Seq(1, 2, 3, 4, 5, 6))
+  }
+
   test("PPM decode: real parser round-trips the encoder and rejects malformed input") {
     // hand-built 2x1 P6 image, independent of the encoder
     val hand = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60))
