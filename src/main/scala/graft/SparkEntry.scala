@@ -460,6 +460,12 @@ object Queries {
     // pooled total + positional 31-bit polynomial pin the values exactly
     "q_multimodal_resize" -> ((s, dir) => Multimodal.ppmResizeQuery(s, dir)),
 
+    // frame sampling: every 4th frame of each video payload (frame count
+    // from the stub's octet_length arithmetic — SQL-predictable), single
+    // frame 0 for non-video rows
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.mediaTable(s, dir), everyK = 4)),
+
     // deterministic skew salting: per-host stats where one synthetic host
     // holds ~33% of rows; two-phase salted agg, result salt-invariant
     "q_host_stats_salted" -> ((s, dir) => {
@@ -1388,6 +1394,19 @@ object Queries {
         |SELECT doc_id, width, height, 255 AS maxval,
         |  CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN 'empty' WHEN n % 3 = 0 THEN 'img'
+        |         WHEN n % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+        |    CASE WHEN n % 3 = 2 THEN n % 30 + 1 ELSE 1 END AS n_frames
+        |  FROM m)
+        |SELECT doc_id, format, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(u.i AS INT) AS frame_idx
+        |FROM t, UNNEST(generate_series(0, n_frames - 1)) u(i)
+        |WHERE u.i % 4 = 0""".stripMargin,
     // pooled value (oy, ox, c) = floor(mean of the 2x2 block) where pixel
     // (x, y, c) = (doc_id + (y*w + x)*3 + c) % 256 — linear index i maps
     // to oy = i // (ow*3), ox = (i // 3) % ow, c = i % 3, block element j

@@ -175,6 +175,23 @@ object Multimodal {
       .map(id => MediaRow(id, ppmPayload(id)))
   }
 
+  /** Frame sampling (the last transform in the brief's decode /
+    * feature-extract / resize / frame-sample list): one row per kept frame
+    * — frames 0, k, 2k, … of each video payload (non-video rows pass
+    * through with the single frame 0). A narrow generate-per-row explode;
+    * at 100 TB the frame DECODE would run inside the same batched seam as
+    * decodeBatched, so only sampled frames ever decode.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import spark.implicits._
+    require(everyK >= 1, "everyK >= 1")
+    media.flatMap { m =>
+      val (format, _, _, frames) = decodeStub(m.payload)
+      val n = if (format == "video") frames else 1
+      (0 until n by everyK).map(f => (m.doc_id, format, n, f))
+    }.toDF("doc_id", "format", "n_frames", "frame_idx")
+  }
+
   final case class PpmResized(
       doc_id: Long, out_w: Int, out_h: Int, pooled_sum: Long, pooled_poly: Long)
 
