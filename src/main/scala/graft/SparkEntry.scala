@@ -390,6 +390,23 @@ object Queries {
           .select(col("id").as("doc_id"), col("cluster_id"))
       }),
 
+    // the END-TO-END dedup resolution chain (the composition the pair ops
+    // exist for): LSH candidate pairs → exact-Jaccard verify → connected
+    // components → drop set (everything but the min-id keeper per
+    // cluster). Iterative CC is an ACTION — memoized like q_dup_clusters.
+    // Scale-pinned oracle: DuckDB rebuilds the exact-Jaccard pair graph
+    // and closes it with a recursive CTE (LSH recall == exact at the
+    // driver's verify scale, like q_minhash_dedup).
+    "q_near_dup_keeper" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_near_dup_keeper") {
+        val planted = Dedup.withPlantedNearDups(docs(s, dir))
+        val pairs = Dedup.minhashLshPairs(s, planted)
+        DupClusters.clustersFromPairs(
+          s, pairs.select(col("a"), col("b")), Some(planted.select(col("doc_id"))))
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"), col("cluster_id").as("kept_id"))
+      }),
+
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashLshPairs(s, Dedup.withPlantedNearDups(docs(s, dir)))
         .select(col("a"), col("b"))),
@@ -590,7 +607,8 @@ object Queries {
     * sf0.01 — a recall regression still fails the driver gate by design,
     * but a scale change can't produce a spurious failure.
     */
-  val scalePinnedOracles: Set[String] = Set("q_minhash_dedup", "q_simhash_dedup")
+  val scalePinnedOracles: Set[String] =
+    Set("q_minhash_dedup", "q_simhash_dedup", "q_near_dup_keeper")
 
   val oracles: Map[String, String] = Map(
     "extract_invariants" ->
@@ -968,6 +986,33 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "q_near_dup_keeper" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in generate_series(1, len(toks) - 2)]) END AS s
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks FROM planted)),
+        |base AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM planted
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id AS kept_id FROM cl WHERE id <> cluster_id""".stripMargin,
     // same ground-truth pair set as the exact verify: LSH recall over the
     // planted corpus is exact (verified: both return identical 81 pairs at
     // sf0.01, the driver's correctness scale) — a recall regression now
