@@ -452,6 +452,14 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // the Lloyd-accumulation oracle surface: per-cell member counts + EXACT
+    // fixed-point component sums (floor(x*2^20 + 0.5) — long sums are
+    // associative, so distributed k-means refinement is deterministic and
+    // engine-recomputable; float averaging would be partial-sum-order-
+    // dependent). Same 32-centroid assignment as q_ann_ivf's oracle.
+    "q_ivf_cell_stats" -> ((s, dir) =>
+      Similarity.ivfCellStats(s, embeddings(s, dir), numCentroids = 32)),
+
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val planted = emb.select(col("vec_id"), col("embedding")).union(
@@ -1373,6 +1381,30 @@ object Queries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_ivf_cell_stats" ->
+      """WITH ph AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      [unicode(c) for c in regexp_split_to_array(CAST(vec_id AS VARCHAR), '')]),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS phash
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, emb AS cemb FROM ph ORDER BY phash, vec_id LIMIT 32),
+        |assigned AS (
+        |  SELECT vec_id, emb, cid FROM (
+        |    SELECT p.vec_id, p.emb, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_cosine_similarity(p.emb, c.cemb) DESC, c.cid ASC) AS rn
+        |    FROM ph p CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (
+        |  SELECT cid, [CAST(floor(x * 1048576 + 0.5) AS BIGINT) for x in emb] AS qv
+        |  FROM assigned)
+        |SELECT cid AS cell_id, count(*) AS n_members,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b))
+        |    AS BIGINT) AS comp_sum,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), [abs(v) for v in qv]),
+        |    (a, b) -> a + b)) AS BIGINT) AS comp_abs_sum
+        |FROM q GROUP BY cid""".stripMargin,
     // exact all-pairs hamming recompute of the poly-simhash (62-bit dual
     // polynomial token hash, bit votes over distinct tokens). The Spark
     // side's 4-band candidate trick has EXACT recall at hamming<=3

@@ -139,9 +139,13 @@ object Similarity {
     * Returns bruteForceTopK's schema.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, numCentroids: Int = 256, nProbe: Int = 4): DataFrame = {
+      k: Int, numCentroids: Int = 256, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(spark, queries, corpus, k, ivfCentroids(corpus, numCentroids), nProbe)
+
+  /** ivfTopK against an explicit centroid set (hash-picked or refined). */
+  def ivfTopKWith(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int, cents: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
     import spark.implicits._
-    val cents: Array[(Long, Array[Float])] = ivfCentroids(corpus, numCentroids)
     require(cents.nonEmpty, "empty corpus: no centroids")
     val bc = spark.sparkContext.broadcast(cents)
 
@@ -165,6 +169,138 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     topK(scored, k)
+  }
+
+  /** Fixed-point quantization scale for exact centroid accumulation. */
+  val FixedPointScale: Long = 1L << 20
+
+  /** Index of the nearest centroid (cosine; ties keep the LOWEST index,
+    * which is the lowest centroid id — ivfCentroids returns hash order).
+    */
+  private def nearestCellIdx(cs: Array[(Long, Array[Float])], emb: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val sc = cosineF(emb, cs(i)._2)
+      if (sc > bestScore || (sc == bestScore && cs(i)._1 < cs(best)._1)) {
+        bestScore = sc; best = i
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Map-side-partial (count, component-sum vector) per cell: buffer is ONE
+    * long array per live cell per task — the k-bounded k-means shape.
+    */
+  final class CellStatsAggregator(dim: Int)
+      extends Aggregator[(Int, Array[Long]), (Long, Array[Long]), (Long, Array[Long])] {
+    def zero: (Long, Array[Long]) = (0L, new Array[Long](dim))
+    def reduce(b: (Long, Array[Long]), x: (Int, Array[Long])): (Long, Array[Long]) = {
+      val arr = b._2
+      var i = 0
+      while (i < dim) { arr(i) += x._2(i); i += 1 }
+      (b._1 + 1L, arr)
+    }
+    def merge(a: (Long, Array[Long]), b: (Long, Array[Long])): (Long, Array[Long]) = {
+      val arr = a._2
+      var i = 0
+      while (i < dim) { arr(i) += b._2(i); i += 1 }
+      (a._1 + b._1, arr)
+    }
+    def finish(r: (Long, Array[Long])): (Long, Array[Long]) = r
+    def bufferEncoder: Encoder[(Long, Array[Long])] = ExpressionEncoder[(Long, Array[Long])]()
+    def outputEncoder: Encoder[(Long, Array[Long])] = ExpressionEncoder[(Long, Array[Long])]()
+  }
+
+  /** Quantize a float component to fixed point: floor(x * scale + 0.5) —
+    * every step exact in IEEE double, so Spark and any other engine agree
+    * bit-for-bit (the float-sum order-dependence that makes distributed
+    * k-means nondeterministic never arises: LONG sums are associative).
+    */
+  def quantize(x: Float, scale: Long = FixedPointScale): Long =
+    math.floor(x.toDouble * scale + 0.5).toLong
+
+  /** One Lloyd refinement round with EXACT arithmetic: assign every corpus
+    * vector to its nearest centroid (cosine, ties by centroid id), then
+    * per-cell component means over fixed-point quantized values
+    * (floorDiv(Σq, n)). Distributed float averaging is order-dependent —
+    * partial-sum trees change the result run to run; quantizing to longs
+    * makes the accumulation associative, so refined centroids are
+    * IDENTICAL under any partitioning (and an independent engine can
+    * recompute the per-cell sums exactly — q_ivf_cell_stats). Empty cells
+    * keep their previous centroid. Broadcast in, k-bounded aggregate out;
+    * the corpus never shuffles (only (cell, partial sums) rows).
+    */
+  def refineCentroids(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cents: Array[(Long, Array[Float])],
+      scale: Long = FixedPointScale): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val dim = cents.head._2.length
+    val stats = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, emb) =>
+          (nearestCellIdx(cs, emb), emb.map(quantize(_, scale)))
+        }
+      }
+      .groupByKey { case (cellIdx, _) => bc.value(cellIdx)._1 }
+      .agg(new CellStatsAggregator(dim).toColumn.name("st"))
+      .collect() // exactly |cells| <= numCentroids rows
+      .map { case (cid, (n, sums)) => cid -> (n, sums) }.toMap
+    cents.map { case (cid, old) =>
+      stats.get(cid) match {
+        case Some((n, sums)) =>
+          cid -> sums.map(s2 => (Math.floorDiv(s2, n).toDouble / scale).toFloat)
+        case None => cid -> old
+      }
+    }
+  }
+
+  /** Per-cell assignment statistics with exact fixed-point sums — the
+    * driver-visible oracle surface of the Lloyd accumulation: member
+    * counts plus Σq and Σ|q| over quantized components. Scalar-only rows
+    * into a partial-aggregated groupBy; the corpus never shuffles.
+    */
+  def ivfCellStats(spark: SparkSession, corpus: DataFrame, numCentroids: Int,
+      scale: Long = FixedPointScale): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, numCentroids)
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, emb) =>
+          var tot = 0L
+          var totAbs = 0L
+          emb.foreach { x =>
+            val q = quantize(x, scale)
+            tot += q
+            totAbs += math.abs(q)
+          }
+          (cs(nearestCellIdx(cs, emb))._1, tot, totAbs)
+        }
+      }.toDF("cell_id", "q_sum", "q_abs_sum")
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("q_sum")).as("comp_sum"),
+        sum(col("q_abs_sum")).as("comp_abs_sum"))
+  }
+
+  /** ivfTopK with `refineRounds` Lloyd rounds applied to the hash-picked
+    * init before probing — better-balanced cells at the same driver-state
+    * bound (the refinement shuffles only (cell, partial-sum) scalars).
+    */
+  def ivfTopKRefined(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int, numCentroids: Int = 256, nProbe: Int = 4, refineRounds: Int = 1): DataFrame = {
+    var cents = ivfCentroids(corpus, numCentroids)
+    var r = 0
+    while (r < refineRounds) { cents = refineCentroids(spark, corpus, cents); r += 1 }
+    ivfTopKWith(spark, queries, corpus, k, cents, nProbe)
   }
 
   /** ivfTopK with the classic √n centroid sizing derived from one cheap

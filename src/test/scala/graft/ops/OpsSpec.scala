@@ -78,6 +78,29 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.ivfCentroids(emb.filter(col("vec_id") < 5), 16).length == 5)
   }
 
+  test("Lloyd refinement: exact fixed-point means, identical under repartitioning") {
+    val init = Similarity.ivfCentroids(emb, 8)
+    val refinedA = Similarity.refineCentroids(spark, emb, init)
+    val refinedB = Similarity.refineCentroids(spark, emb.repartition(13), init)
+    // long accumulation is associative -> refined centroids are bit-equal
+    // regardless of partition layout (float averaging would not be)
+    assert(refinedA.map(_._1).toSeq == refinedB.map(_._1).toSeq)
+    refinedA.zip(refinedB).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // refinement moved at least one centroid off its init position
+    assert(refinedA.zip(init).exists { case ((_, r), (_, o)) => r.toSeq != o.toSeq })
+    // refined IVF keeps usable recall vs brute force
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopKRefined(spark, queries, emb, 10,
+      numCentroids = 8, nProbe = 4, refineRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & refined).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined IVF recall $recall too low")
+  }
+
   test("cosine near-dup finds planted scaled twins (scale-invariance of cosine)") {
     val planted = emb.select(col("vec_id"), col("embedding")).union(
       emb.filter(col("vec_id") % 25 === 0).select(
