@@ -215,6 +215,40 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(parts.length == off.files.length - 1)
   }
 
+  test("streaming WARC feeds the streaming extraction end to end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-sx").toString
+    val ckpt = Files.createTempDirectory("graft-warc-sx-ckpt").toString
+    val tableHtml =
+      "<html><body><p>A sufficiently long paragraph of page text here.</p>" +
+        "<table><tr><th>Common name</th><th>Status</th>" +
+        "</tr><tr><td>Lantern Fox</td><td>stable</td></tr></table></body></html>"
+    writeWarc(dir, "seg-001.warc",
+      record("response", "https://sx.org/1", "2025-01-01T00:00:00Z", httpResponse(tableHtml)))
+    // the crawl-ingestion composition: readStream("warc") -> Page -> the
+    // fused extraction -> memory sink, micro-batch at a time
+    val pages = spark.readStream.format("warc").load(dir)
+      .select(col("url"), col("warc_ts"), col("html"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .map { case (u, ts, html) => graft.pipeline.Page(u, ts, html, "", "") }
+    val extracted = graft.streaming.StreamingExtract.extractStream(spark, pages, buckets = 4)
+    val q = extracted.toDF()
+      .select(col("url"), col("n_tables"), col("n_table_rows"))
+      .writeStream.format("memory").queryName("warc_sx")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("warc_sx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(r1 == Seq(("https://sx.org/1", 1)))
+      writeWarc(dir, "seg-002.warc",
+        record("response", "https://sx.org/2", "2025-01-01T00:01:00Z", httpResponse(html1)))
+      q.processAllAvailable()
+      val r2 = spark.table("warc_sx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(r2 == Seq(("https://sx.org/1", 1), ("https://sx.org/2", 0)))
+    } finally q.stop()
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
