@@ -457,8 +457,12 @@ object Queries {
     // associative, so distributed k-means refinement is deterministic and
     // engine-recomputable; float averaging would be partial-sum-order-
     // dependent). Same 32-centroid assignment as q_ann_ivf's oracle.
+    // Memoized: the centroid pick is a k-bounded collect ACTION (PlanSpec
+    // jobs-gate pattern, like q_dup_clusters).
     "q_ivf_cell_stats" -> ((s, dir) =>
-      Similarity.ivfCellStats(s, embeddings(s, dir), numCentroids = 32)),
+      graft.core.DfCache.get(s, s"$dir#q_ivf_cell_stats") {
+        Similarity.ivfCellStats(s, embeddings(s, dir), numCentroids = 32)
+      }),
 
     "q_cosine_near_dup" -> ((s, dir) => {
       val emb = embeddings(s, dir)
