@@ -22,13 +22,18 @@ object ProbeMain {
     })
     val pages = graft.pages.SyntheticPages.pagesReplicated(spark, "/root/testdata/sf0.1", 100)
     for (rep <- 1 to 5) {
+      // split: corpus generation alone vs generation + extraction — the
+      // difference isolates the tokenizer/grid/boilerplate cost share
+      val tg0 = System.nanoTime()
+      pages.count()
+      val genDt = (System.nanoTime() - tg0) / 1e9
       taskStats.synchronized(taskStats.clear())
       val t0 = System.nanoTime()
       graft.pipeline.ExtractJob.extract(spark, pages, graft.pipeline.ExtractJob.Config(buckets = 128)).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val stats = taskStats.synchronized(taskStats.toList)
       val slowest = stats.sortBy(-_._2).take(3)
-      println(f"rep $rep: $dt%.2fs, tasks=${stats.size}, slowest(dur,run,cpu,gc)=${slowest.map { case (s, d, r, c, g) => s"[stage$s ${d}ms run=$r cpu=$c gc=$g]" }.mkString(" ")}")
+      println(f"rep $rep: gen=$genDt%.2fs full=$dt%.2fs, tasks=${stats.size}, slowest(dur,run,cpu,gc)=${slowest.map { case (s, d, r, c, g) => s"[stage$s ${d}ms run=$r cpu=$c gc=$g]" }.mkString(" ")}")
     }
     spark.stop()
   }

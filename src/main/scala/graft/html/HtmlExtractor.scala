@@ -239,12 +239,28 @@ object HtmlExtractor {
     }
   }
 
+  /** NFKC with a pure-ASCII fast path: every ASCII char is an NFKC fixed
+    * point, so a string with no char >= U+0080 is returned as-is — the
+    * normalizer (table-driven, allocating) runs only on the non-ASCII
+    * minority. Measured on the extraction hot path: blocks and cells are
+    * overwhelmingly ASCII in web text.
+    */
+  private def nfkc(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80)
+        return java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      i += 1
+    }
+    s
+  }
+
   /** NFKC-normalize + newline→space + whitespace collapse, mirroring the
     * reference's per-cell treatment (pdfplumber unicode_norm="NFKC" at open,
     * readers/document.py:179-183 newline strip).
     */
   private def cellText(raw: String): String =
-    Text.collapseWhitespace(java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFKC))
+    Text.collapseWhitespace(nfkc(raw))
 
   private def scanDocument(html: String): DocScan = {
     var pageNum = 1
@@ -270,7 +286,7 @@ object HtmlExtractor {
     var blockHeading = false
 
     def flushBlock(): Unit = {
-      val txt = Text.collapseWhitespace(java.text.Normalizer.normalize(blockText.toString, java.text.Normalizer.Form.NFKC))
+      val txt = Text.collapseWhitespace(nfkc(blockText.toString))
       if (txt.nonEmpty) {
         blocksOf(pageNum) += Blk(txt, blockLinkChars, blockHeading, boilerDepth > 0)
       }
@@ -400,7 +416,7 @@ object HtmlExtractor {
       merged.toVector.map { case (s0, e0) =>
         val a = math.min(s0, line.length)
         val b = math.min(e0, line.length)
-        Text.collapseWhitespace(java.text.Normalizer.normalize(line.substring(a, b), java.text.Normalizer.Form.NFKC))
+        Text.collapseWhitespace(nfkc(line.substring(a, b)))
       }
     var grid = lines.map(cells)
     // dashed separator under the first line promotes it to a header row
@@ -560,20 +576,49 @@ object HtmlExtractor {
   // -------------------------------------------------------------------
 
   def toRawJson(filename: String, ex: Extracted): String = {
-    import JVal._
-    def rowJson(r: RowData): JVal =
-      JObj(r.columns.map { case (k, c) => (k, Cell.toJson(c)) })
-    val tables = JArr(ex.tables.toVector.map { t =>
-      val fragFields = Vector.newBuilder[(String, JVal)]
-      fragFields += ("rows" -> JArr(t.fragment.rows.toVector.map(rowJson)))
-      fragFields += ("page" -> JVal.num(t.fragment.page))
-      t.title.foreach(ti => fragFields += ("title" -> JStr(ti)))
-      JObj(Vector("table_fragments" -> JArr(Vector(JObj(fragFields.result()))))): JVal
-    })
-    JObj(Vector(
-      "tables" -> tables,
-      "citation" -> ex.citation.map(JStr(_): JVal).getOrElse(JNull),
-      "metadata" -> JObj(Vector("filename" -> JStr(filename)))
-    )).render
+    // streaming writer — byte-identical to rendering the equivalent JVal
+    // tree (JObj/JArr node + Vector construction per cell measured at ~1/3
+    // of per-page extraction cost; the hot path writes straight into one
+    // StringBuilder, falling back to the tree only for Multi cells, which
+    // raw extraction never emits)
+    val sb = new java.lang.StringBuilder(256 + ex.tables.size * 256)
+    sb.append("{\"tables\": [")
+    var ti = 0
+    ex.tables.foreach { t =>
+      if (ti > 0) sb.append(", ")
+      sb.append("{\"table_fragments\": [{\"rows\": [")
+      var ri = 0
+      t.fragment.rows.foreach { r =>
+        if (ri > 0) sb.append(", ")
+        sb.append('{')
+        var ci = 0
+        r.columns.foreach { case (k, c) =>
+          if (ci > 0) sb.append(", ")
+          JVal.writeString(sb, k)
+          sb.append(": ")
+          c match {
+            case Cell.Null => sb.append("null")
+            case Cell.Str(v) => JVal.writeString(sb, v)
+            case m: Cell.Multi => JVal.write(sb, Cell.toJson(m))
+          }
+          ci += 1
+        }
+        sb.append('}')
+        ri += 1
+      }
+      sb.append("], \"page\": ").append(t.fragment.page)
+      t.title.foreach { ti2 => sb.append(", \"title\": "); JVal.writeString(sb, ti2) }
+      sb.append("}]}")
+      ti += 1
+    }
+    sb.append("], \"citation\": ")
+    ex.citation match {
+      case Some(c) => JVal.writeString(sb, c)
+      case None => sb.append("null")
+    }
+    sb.append(", \"metadata\": {\"filename\": ")
+    JVal.writeString(sb, filename)
+    sb.append("}}")
+    sb.toString
   }
 }
