@@ -30,6 +30,53 @@ object HtmlTokenizer {
     "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß"
   )
 
+  /** Common tag/attribute names grouped by length: `internedName` matches a
+    * source region against these case-insensitively WITHOUT allocating —
+    * the `substring().toLowerCase` pair per tag/attr was a measurable slice
+    * of the tokenizer's allocation rate; unknown names still fall back to
+    * the allocating path, so behavior is unchanged.
+    */
+  private val InternedNames: Array[Array[String]] = {
+    val names = Seq(
+      "a", "b", "i", "p", "em", "h1", "h2", "h3", "h4", "h5", "h6", "hr",
+      "br", "dl", "dt", "dd", "ol", "ul", "li", "td", "th", "tr", "id",
+      "nav", "pre", "div", "img", "src", "rel", "alt",
+      "body", "form", "head", "html", "span", "abbr", "cite", "code", "href",
+      "meta", "link", "name", "role", "lang", "type",
+      "aside", "table", "tbody", "thead", "tfoot", "title", "style", "class",
+      "width", "small", "label",
+      "footer", "header", "strong", "select", "option", "script", "figure",
+      "iframe", "button", "height", "hidden",
+      "section", "article", "caption", "colspan", "rowspan", "noscript",
+      "template", "fieldset", "blockquote", "figcaption", "data-page")
+    val byLen = names.groupBy(_.length)
+    Array.tabulate(byLen.keys.max + 1)(l => byLen.getOrElse(l, Nil).toArray)
+  }
+
+  /** The lowercase name for html[start, end), reusing an interned constant
+    * when the region matches one (ASCII case-insensitive); allocates only
+    * for unknown names.
+    */
+  private def internedName(html: String, start: Int, end: Int): String = {
+    val len = end - start
+    if (len > 0 && len < InternedNames.length) {
+      val cands = InternedNames(len)
+      var k = 0
+      while (k < cands.length) {
+        val t = cands(k)
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          if (Character.toLowerCase(html.charAt(start + j)) != t.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) return t
+        k += 1
+      }
+    }
+    html.substring(start, end).toLowerCase
+  }
+
   /** Case-insensitive indexOf for ASCII needles (avoids O(n) toLowerCase per call). */
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     val n = needle.length
@@ -131,8 +178,11 @@ object HtmlTokenizer {
               val gt = html.indexOf('>', i)
               if (gt < 0) { i = html.length }
               else {
-                val name = html.substring(i + 2, gt).trim.toLowerCase
-                nextTok = EndTag(name, i, gt + 1)
+                var ns = i + 2
+                var ne = gt
+                while (ns < ne && html.charAt(ns) <= ' ') ns += 1 // String.trim semantics
+                while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
+                nextTok = EndTag(internedName(html, ns, ne), i, gt + 1)
                 i = gt + 1
               }
             } else {
@@ -158,7 +208,7 @@ object HtmlTokenizer {
         // emit as literal text of one char
         return StartTag("", Nil, selfClosing = true, start, start + 1)
       }
-      val name = html.substring(nameStart, j).toLowerCase
+      val name = internedName(html, nameStart, j)
       val attrs = List.newBuilder[(String, String)]
       var selfClosing = false
       var done = false
@@ -174,7 +224,7 @@ object HtmlTokenizer {
             val aStart = j
             while (j < html.length && !Character.isWhitespace(html.charAt(j)) &&
               html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-            val aName = html.substring(aStart, j).toLowerCase
+            val aName = internedName(html, aStart, j)
             while (j < html.length && Character.isWhitespace(html.charAt(j))) j += 1
             var aVal = ""
             if (j < html.length && html.charAt(j) == '=') {
