@@ -57,6 +57,11 @@ object Salting {
     * sum of `weightCol` (token/char counts — must be positive) stays within
     * `budget`, deterministically under any partitioning.
     *
+    * CONTRACT (same as [[capPerHost]]): `orderCol` must be unique within a
+    * stratum (doc id) and `weightCol` positive — a tied order key would
+    * make both the window's running sum and the kept boundary depend on
+    * partition arrival order.
+    *
     * Scale shape: phase 1 sorts within partitions on (stratum, order) and
     * streams a per-partition running sum, keeping rows while the LOCAL
     * running sum is within budget PLUS the first overflowing row (the
