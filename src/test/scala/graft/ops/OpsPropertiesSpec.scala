@@ -82,4 +82,42 @@ class OpsPropertiesSpec extends AnyFunSuite {
       assert(!c.contains("#") && !c.contains("@"), c)
     }
   }
+
+  test("stratified sampling: a higher rate keeps a SUPERSET (nested-sample law)") {
+    import spark.implicits._
+    // the defining property of threshold sampling over one hash: raising a
+    // stratum's rate only ADDS documents — the training mix can be re-
+    // weighted without resampling (a fresh df.sample would reshuffle
+    // membership). One Spark job per rate, ids compared driver-side.
+    val rows = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def keep(rate: Double): Set[Long] = Sampling.stratifiedSample(
+      rows, col("source"), col("doc_id"), Map.empty, defaultRate = rate)
+      .collect().map(_.getLong(0)).toSet
+    val r02 = keep(0.2)
+    val r05 = keep(0.5)
+    val r08 = keep(0.8)
+    assert(r02.subsetOf(r05), s"${(r02 -- r05).size} ids lost raising 0.2 -> 0.5")
+    assert(r05.subsetOf(r08), s"${(r05 -- r08).size} ids lost raising 0.5 -> 0.8")
+    assert(r02.size < r05.size && r05.size < r08.size)
+  }
+
+  test("token-budget cap == sequential per-stratum reference on random weights") {
+    import spark.implicits._
+    val rowsGen: Gen[List[(Long, String, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 60L), Gen.oneOf("a", "b", "c"), Gen.choose(1L, 9L)))
+        .map(_.groupBy(_._1).map(_._2.head).toList) // unique order keys (the op's contract)
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val got = Salting.capPerStratumBudget(
+          rows.toDF("doc_id", "src", "w").repartition(4),
+          col("src"), col("doc_id"), col("w"), budget = 20)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        val want = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+          var acc = 0L
+          rs.sortBy(_._1).takeWhile { r => acc += r._3; acc <= 20 }
+        }.map(r => (r._1, r._2)).sortBy(_._1)
+        got == want
+      }
+    }, minTests = 10)
+  }
 }

@@ -249,6 +249,34 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writer round-trip preserves arbitrary BINARY payloads exactly") {
+    import spark.implicits._
+    // html is a binary column: non-UTF8 bytes, embedded CRLFCRLF sequences
+    // and gzip-magic prefixes must all survive Content-Length framing +
+    // multi-member gzip + envelope stripping byte-for-byte
+    val rnd = new scala.util.Random(42)
+    val payloads = Seq(
+      Array.tabulate(256)(_.toByte), // every byte value
+      "before\r\n\r\nafter".getBytes(UTF_8), // CRLFCRLF inside the body
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0), // gzip magic prefix
+      Array.fill(4096)(rnd.nextInt().toByte), // bulk random
+      Array.emptyByteArray) // empty body
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val dir = Files.createTempDirectory("graft-warc-bin").toString + "/corpus"
+    val pages = payloads.zipWithIndex.map { case (p, i) =>
+      graft.pipeline.Page(s"https://bin.org/$i", ts, p, "", "en")
+    }.toDS()
+    WarcWriter.writeCorpus(spark, pages, dir)
+    val got = spark.read.format("warc").load(dir)
+      .select(col("url"), col("html")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
+    assert(got.length == payloads.length)
+    got.zipWithIndex.foreach { case ((u, bytes), i) =>
+      assert(u == s"https://bin.org/$i")
+      assert(java.util.Arrays.equals(bytes, payloads(i)), s"payload $i differs")
+    }
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
