@@ -311,6 +311,27 @@ object Queries {
         graft.ops.UrlOps.urlHost(messy).as("host"))
     }),
 
+    // context-window packing: 40-token chunks, 8 shared context tokens —
+    // the oracle recomputes every chunk string with list slicing
+    "q_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(s, docs(s, dir), chunkSize = 40, overlap = 8)),
+
+    // PII scrubbing over a corpus with deterministically planted PII
+    // (emails/IPs/phones built from doc_id arithmetic — the base text is
+    // letters-only, so the regexes act ONLY on the planted suffix and the
+    // oracle controls every byte)
+    "q_pii_redact" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val planted = concat(col("text"),
+        lit(" contact user"), idStr,
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org or 555-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(planted).as("redacted"))
+    }),
+
     // corpus-frequency (unigram-LM-style) quality: top-200 vocab via
     // orderBy+limit (k-bounded TakeOrderedAndProject), broadcast into the
     // per-doc OOV/vocab-mass aggregation — integer-exact cross-engine
@@ -1053,6 +1074,33 @@ object Queries {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    // stride = 40 - 8 = 32; window k emitted when k = 0 or k*32 + 8 < n
+    // (a window starting past n - overlap is contained in its predecessor)
+    "q_chunk_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.k AS INT) AS chunk_idx,
+        |  CAST(least(u.k * 32 + 40, len(toks)) - u.k * 32 AS INT) AS n_chunk_tokens,
+        |  array_to_string(toks[u.k * 32 + 1 : least(u.k * 32 + 40, len(toks))], ' ')
+        |    AS chunk_text
+        |FROM tok, UNNEST(generate_series(0, greatest(len(toks) // 32, 0))) u(k)
+        |WHERE u.k = 0 OR u.k * 32 + 8 < len(toks)""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |          || '.example.org or 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |          || '.0.' || CAST(doc_id % 100 AS VARCHAR),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "q_token_freq_quality" ->
       """WITH tok AS (
         |  SELECT doc_id,

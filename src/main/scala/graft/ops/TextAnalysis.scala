@@ -41,6 +41,23 @@ object TextAnalysis {
       .select("doc_id", "n_chars", "n_tokens", "n_alpha", "n_punct", "quality_ok")
   }
 
+  /** PII redaction — the scrubbing pass a training pipeline runs before
+    * text ships: emails, IPv4 addresses and phone-shaped digit runs are
+    * replaced with typed placeholders. Pure codegen'd `regexp_replace`
+    * chain (no UDF); patterns stay in the regex subset every engine
+    * implements identically (character classes, bounded repetition — no
+    * lookaround, no backrefs), so the pass is DuckDB-oracle-checkable.
+    * Order matters and is fixed: emails first (their digits must not be
+    * half-eaten by the phone rule), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b", "<PHONE>")
+  }
+
   /** Corpus-frequency quality signals — the unigram-LM-style filter a
     * training pipeline cuts on (rare-token / OOV-heavy docs are usually
     * boilerplate, markup debris or non-language): per document, over
@@ -72,6 +89,33 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(coalesce(col("freq"), lit(0L))).as("vocab_mass"))
+  }
+
+  /** Context-window chunking — the packing step before tokenization in a
+    * training pipeline: each document splits into `chunkSize`-token windows
+    * advancing by `chunkSize - overlap` tokens, so consecutive chunks share
+    * `overlap` tokens of context. The tail chunk keeps its remainder; a
+    * window starting past `n - overlap` would be fully contained in its
+    * predecessor and is not emitted (chunk 0 always is). One narrow typed
+    * flatMap — rows explode in place, nothing shuffles.
+    */
+  def chunkTokens(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val toks = sqlTrim(text).split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      Iterator.from(0)
+        .map(_ * stride)
+        .takeWhile(st => st == 0 || st + overlap < n)
+        .zipWithIndex
+        .map { case (st, k) =>
+          val end = math.min(st + chunkSize, n)
+          (id, k, end - st, toks.slice(st, end).mkString(" "))
+        }
+    }.toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
   }
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic. */
