@@ -169,6 +169,45 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.shinglesOf("  aa bb cc  ", 3).toSet == Set("aa bb cc"))
   }
 
+  test("PII redaction: placeholders, ordering, and non-PII text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at a.b+c%d@sub.domain.org today",
+      "server 192.168.0.1 and phone 555-123-4567",
+      "digits 12345 and version 1.2 stay",       // not phone/IP shaped
+      "ip-ish 999.999.999.999 still redacts",     // regex is shape-, not range-checked
+      "nothing to scrub here").toDF("text")
+    val got = rows.select(graft.ops.TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "server <IP> and phone <PHONE>",
+      "digits 12345 and version 1.2 stay",
+      "ip-ish <IP> still redacts",
+      "nothing to scrub here"))
+  }
+
+  test("chunking: tail kept, contained window suppressed, overlap shared") {
+    import spark.implicits._
+    def chunks(text: String, size: Int, overlap: Int) =
+      graft.ops.TextAnalysis.chunkTokens(
+        spark, Seq((1L, text)).toDF("doc_id", "text"), size, overlap)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1).toSeq
+    val ten = (1 to 10).map("w" + _).mkString(" ")
+    // size 8 overlap 4 over 10 tokens: [0,8) then [4,10); window [8,10)
+    // would be contained in [4,10) and must not appear
+    assert(chunks(ten, 8, 4) == Seq(
+      (0, 8, (1 to 8).map("w" + _).mkString(" ")),
+      (1, 6, (5 to 10).map("w" + _).mkString(" "))))
+    // shorter than one window: single chunk
+    assert(chunks("a b c", 8, 4) == Seq((0, 3, "a b c")))
+    // exact window size: single chunk (next window would start past n - overlap)
+    assert(chunks((1 to 8).map("w" + _).mkString(" "), 8, 4)
+      == Seq((0, 8, (1 to 8).map("w" + _).mkString(" "))))
+    // zero overlap: disjoint windows
+    assert(chunks(ten, 5, 0).map(_._1) == Seq(0, 1))
+  }
+
   test("stratified sampling is deterministic, partitioning-invariant, rate-faithful") {
     import spark.implicits._
     val rows = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
