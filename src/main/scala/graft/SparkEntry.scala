@@ -510,6 +510,11 @@ object Queries {
     // pooled total + positional 31-bit polynomial pin the values exactly
     "q_multimodal_resize" -> ((s, dir) => Multimodal.ppmResizeQuery(s, dir)),
 
+    // feature extraction: per-channel intensity sums over the decoded
+    // plane — the oracle sums (doc_id + i) % 256 over each channel's
+    // residue class without parsing bytes
+    "q_multimodal_features" -> ((s, dir) => Multimodal.ppmFeatureQuery(s, dir)),
+
     // frame sampling: every 4th frame of each video payload (frame count
     // from the stub's octet_length arithmetic — SQL-predictable), single
     // frame 0 for non-video rows
@@ -1522,6 +1527,20 @@ object Queries {
         |  FROM dims)
         |SELECT doc_id, width, height, 255 AS maxval,
         |  CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
+        |         CAST(3 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(generate_series(0, 3 * width * height - 1)) AS i
+        |  FROM dims)
+        |SELECT doc_id, width, height,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id + i) % 256 ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id + i) % 256 ELSE 0 END) AS BIGINT) AS b_sum
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
     "q_multimodal_frames" ->
       """WITH m AS (

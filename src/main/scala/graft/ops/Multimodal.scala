@@ -244,6 +244,34 @@ object Multimodal {
 
   final case class PpmResizedValues(out_w: Int, out_h: Int, values: Array[Int])
 
+  final case class PpmFeatures(
+      doc_id: Long, width: Int, height: Int, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Feature extraction over the decoded plane: per-channel intensity sums
+    * (the integer-exact core of a channel-mean/histogram feature vector —
+    * downstream similarity ops consume these like any embedding). Narrow
+    * typed pass; the oracle predicts each channel sum from the generator
+    * arithmetic restricted to its residue class.
+    */
+  def ppmFeatureQuery(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodePpmPixels(m.payload).map { case (w, h, _, off, need) =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < need) {
+              sums(i % 3) += m.payload(off + i) & 0xff
+              i += 1
+            }
+            PpmFeatures(m.doc_id, w, h, sums(0), sums(1), sums(2))
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Resize the synthetic PPM corpus (factor 2) to integer summaries. */
   def ppmResizeQuery(spark: SparkSession, sfDir: String, factor: Int = 2,
       batchSize: Int = 64): DataFrame = {
