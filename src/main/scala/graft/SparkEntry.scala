@@ -322,12 +322,22 @@ object Queries {
     // oracle controls every byte)
     "q_pii_redact" -> ((s, dir) => {
       val idStr = col("doc_id").cast("string")
+      // plants every rule's shape: email, 7-digit local, IP, parenthesized
+      // NANP, +1-dotted NANP, plus a date-like negative control that must
+      // survive unredacted
       val planted = concat(col("text"),
         lit(" contact user"), idStr,
         lit("@mail"), (col("doc_id") % 7).cast("string"),
         lit(".example.org or 555-"), (col("doc_id") % 9000 + 1000).cast("string"),
         lit(" from 10."), (col("doc_id") % 256).cast("string"),
-        lit(".0."), (col("doc_id") % 100).cast("string"))
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" call ("), (col("doc_id") % 800 + 200).cast("string"),
+        lit(") "), (col("doc_id") % 900 + 100).cast("string"),
+        lit("-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" or +1 "), (col("doc_id") % 800 + 200).cast("string"),
+        lit("."), (col("doc_id") % 900 + 100).cast("string"),
+        lit("."), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" on 2024-01-"), (col("doc_id") % 28 + 1).cast("string"))
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(planted).as("redacted"))
     }),
@@ -342,8 +352,10 @@ object Queries {
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
 
+    // rolling fingerprint summary — an INDEPENDENT poly-family instance
+    // (seed 13): whole-text hash + min 3-gram hash + distinct-gram count
     "q_fingerprint_rolling" -> ((s, dir) =>
-      TextAnalysis.fingerprintColumns(docs(s, dir), col("text"))),
+      TextAnalysis.fingerprintColumns(s, docs(s, dir))),
 
     // cross-engine-checkable fingerprint: polynomial rolling hash over
     // codepoints (DuckDB recomputes it exactly via list_reduce)
@@ -1097,14 +1109,23 @@ object Queries {
         |  regexp_replace(
         |    regexp_replace(
         |      regexp_replace(
-        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |          || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-        |          || '.example.org or 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
-        |          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-        |          || '.0.' || CAST(doc_id % 100 AS VARCHAR),
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b', '<PHONE>', 'g') AS redacted
+        |        regexp_replace(
+        |          text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |            || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |            || '.example.org or 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |            || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |            || ' call (' || CAST(doc_id % 800 + 200 AS VARCHAR)
+        |            || ') ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |            || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |            || ' or +1 ' || CAST(doc_id % 800 + 200 AS VARCHAR)
+        |            || '.' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |            || '.' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |            || ' on 2024-01-' || CAST(doc_id % 28 + 1 AS VARCHAR),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '(\+1[-. ]?|\b1[-. ])?(\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
     "q_token_freq_quality" ->
       """WITH tok AS (
@@ -1154,6 +1175,29 @@ object Queries {
         |FROM documents""".stripMargin,
     "q_doc_fingerprint_md5" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+    // same polynomial recompute as q_fingerprint_poly but seed 13 (the
+    // rolling fingerprint's independent hash instance) + distinct-gram count
+    "q_fingerprint_rolling" ->
+      """WITH tok AS (
+        |  SELECT doc_id, trim(lower(text)) AS t,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               for i in generate_series(1, len(toks) - 2)] END AS grams
+        |  FROM tok)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(13 AS BIGINT),
+        |    [unicode(c) for c in regexp_split_to_array(t, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS full_hash,
+        |  list_min([list_reduce(list_prepend(CAST(13 AS BIGINT),
+        |    [unicode(c) for c in regexp_split_to_array(gr, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) for gr in grams]) AS min_gram_hash,
+        |  len(list_distinct(grams)) AS n_distinct_grams
+        |FROM g""".stripMargin,
     "q_fingerprint_poly" ->
       """WITH tok AS (
         |  SELECT doc_id, trim(lower(text)) AS t,
@@ -1438,6 +1482,11 @@ object Queries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+    // cell assignment ranks on the QUANTIZED cosine (floor(cos·2^20+0.5),
+    // same fixed-point family as the sums) + cid tie-break, mirroring
+    // nearestCellIdx — each engine computes its own double cosine, and
+    // quantization absorbs the sub-ulp normalization differences an
+    // exact-equality tie-break would turn into divergent assignments
     "q_ivf_cell_stats" ->
       """WITH ph AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1451,7 +1500,8 @@ object Queries {
         |  SELECT vec_id, emb, cid FROM (
         |    SELECT p.vec_id, p.emb, c.cid,
         |      row_number() OVER (PARTITION BY p.vec_id
-        |        ORDER BY list_cosine_similarity(p.emb, c.cemb) DESC, c.cid ASC) AS rn
+        |        ORDER BY CAST(floor(list_cosine_similarity(p.emb, c.cemb) * 1048576 + 0.5)
+        |                 AS BIGINT) DESC, c.cid ASC) AS rn
         |    FROM ph p CROSS JOIN cent c) WHERE rn = 1),
         |q AS (
         |  SELECT cid, [CAST(floor(x * 1048576 + 0.5) AS BIGINT) for x in emb] AS qv

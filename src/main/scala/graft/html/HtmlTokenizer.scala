@@ -55,7 +55,11 @@ object HtmlTokenizer {
 
   /** The lowercase name for html[start, end), reusing an interned constant
     * when the region matches one (ASCII case-insensitive); allocates only
-    * for unknown names.
+    * for unknown names. The fast path bails on any non-ASCII char: per-char
+    * Character.toLowerCase diverges from String.toLowerCase exactly when a
+    * char's string lowercase is multi-char (e.g. U+0130 'İ' → "i̇"), so
+    * restricting interning to ASCII keeps exotic tag/attr names
+    * byte-identical to the allocating path.
     */
   private def internedName(html: String, start: Int, end: Int): String = {
     val len = end - start
@@ -67,15 +71,21 @@ object HtmlTokenizer {
         var j = 0
         var ok = true
         while (ok && j < len) {
-          if (Character.toLowerCase(html.charAt(start + j)) != t.charAt(j)) ok = false
+          val c = html.charAt(start + j)
+          if (c >= 0x80 || lowerAscii(c) != t.charAt(j)) ok = false
           j += 1
         }
         if (ok) return t
         k += 1
       }
+      // any non-ASCII char also disqualifies names that matched no
+      // candidate prefix-wise; the substring path below handles them
     }
     html.substring(start, end).toLowerCase
   }
+
+  private def lowerAscii(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
   /** Case-insensitive indexOf for ASCII needles (avoids O(n) toLowerCase per call). */
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {

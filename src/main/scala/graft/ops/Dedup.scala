@@ -88,9 +88,15 @@ object Dedup {
     * do; on a text starting with '\n' the Java-trim variant hash-diverged
     * from every cross-engine shingle oracle).
     */
-  def shinglesOf(text: String, n: Int): Array[String] = {
-    val tokens = TextAnalysis.sqlTrim(text)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+  def shinglesOf(text: String, n: Int): Array[String] =
+    shinglesOfTokens(TextAnalysis.sqlTrim(text)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty), n)
+
+  /** [[shinglesOf]] over already-normalized (trimmed, lowercased,
+    * whitespace-split) tokens — for callers that computed the token array
+    * anyway (avoids re-normalizing the raw text on hot paths).
+    */
+  def shinglesOfTokens(tokens: Array[String], n: Int): Array[String] = {
     val grams =
       if (tokens.length < n) Array(tokens.mkString(" "))
       else Array.tabulate(tokens.length - n + 1)(i => tokens.slice(i, i + n).mkString(" "))
@@ -279,6 +285,21 @@ object Dedup {
     inBatchKeep.join(
       ledger.select(col("content_md5")), Seq("content_md5"), "left_anti")
   }
+
+  /** The ledger after accepting a batch: previous ledger ∪ the accepted
+    * batch's content hashes — completes the append-mode loop
+    * (accepted = incrementalExactDedup(batch, ledger);
+    *  ledger' = advanceLedger(ledger, accepted)). Pure union of 16-byte
+    * digests (dedup within the union is unnecessary: accepted hashes are
+    * anti-joined against the ledger by construction, so the two sides are
+    * disjoint — and within-batch winners are already one row per hash).
+    * Re-running the SAME batch against the advanced ledger accepts nothing
+    * (idempotence — the crash-retry safety a growing crawl needs); persist
+    * the result (e.g. parquet) between batches.
+    */
+  def advanceLedger(ledger: DataFrame, accepted: DataFrame): DataFrame =
+    ledger.select(col("content_md5"))
+      .union(accepted.select(col("content_md5")))
 
   /** incrementalExactDedup returning the FULL accepted rows of `incoming`
     * (all original columns plus content_md5): the digest-only keep set is

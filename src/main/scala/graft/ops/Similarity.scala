@@ -176,13 +176,23 @@ object Similarity {
 
   /** Index of the nearest centroid (cosine; ties keep the LOWEST index,
     * which is the lowest centroid id — ivfCentroids returns hash order).
+    *
+    * Scores compare QUANTIZED (floor(cos·2^20 + 0.5), the repo's fixed-
+    * point family): cosineF accumulates in double in index order, but the
+    * cross-engine oracle ranks with DuckDB's own double cosine, whose
+    * normalization can differ in the last ulp (sqrt(na)·sqrt(nb) vs
+    * sqrt(na·nb)) — an exact-equality tie-break would then assign a
+    * near-tied vector to different cells in the two engines. After
+    * quantization a sub-ulp divergence flips the comparison only when the
+    * true score sits within ~2^-52 of a 2^-20 bin edge, and the cid
+    * tie-break fires on every genuine quantized tie in both engines.
     */
   private def nearestCellIdx(cs: Array[(Long, Array[Float])], emb: Array[Float]): Int = {
     var best = 0
-    var bestScore = Double.NegativeInfinity
+    var bestScore = Long.MinValue
     var i = 0
     while (i < cs.length) {
-      val sc = cosineF(emb, cs(i)._2)
+      val sc = math.floor(cosineF(emb, cs(i)._2) * FixedPointScale + 0.5).toLong
       if (sc > bestScore || (sc == bestScore && cs(i)._1 < cs(best)._1)) {
         bestScore = sc; best = i
       }
@@ -343,8 +353,15 @@ object Similarity {
     import spark.implicits._
     corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
+        // one-element (dim -> matrix) memo per task: the cache probe is a
+        // ConcurrentHashMap lookup + boxed-tuple key allocation, and at
+        // 10^9 rows that's 10^9 probes for a constant — resolve it once
+        // per partition (re-resolving only if the dim ever changes mid-
+        // partition, which a well-formed corpus never does)
+        var memoDim = -1
+        var m: Array[Array[Double]] = null
         it.map { case (id, emb) =>
-          val m = planeMatrix(planes, emb.length)
+          if (emb.length != memoDim) { m = planeMatrix(planes, emb.length); memoDim = emb.length }
           var sig = 0L
           var p = 0
           while (p < planes) {

@@ -44,18 +44,31 @@ object TextAnalysis {
   /** PII redaction — the scrubbing pass a training pipeline runs before
     * text ships: emails, IPv4 addresses and phone-shaped digit runs are
     * replaced with typed placeholders. Pure codegen'd `regexp_replace`
-    * chain (no UDF); patterns stay in the regex subset every engine
-    * implements identically (character classes, bounded repetition — no
-    * lookaround, no backrefs), so the pass is DuckDB-oracle-checkable.
-    * Order matters and is fixed: emails first (their digits must not be
-    * half-eaten by the phone rule), then IPs, then phones.
+    * chain (no UDF); patterns stay in the regex subset Java regex and RE2
+    * implement identically (character classes, bounded repetition,
+    * alternation — no lookaround, no backrefs, which RE2 lacks), so the
+    * pass is DuckDB-oracle-checkable. Order matters and is fixed: emails
+    * first (their digits must not be half-eaten by the phone rule), then
+    * IPs (10.x.y.z must not be phone-eaten), then the NANP-shaped full
+    * phone rule, then the 7-digit local form.
+    *
+    * The phone rules are NANP-shaped, not NANP-validating: area codes are
+    * any 3 digits ("\b" can't guard a leading "+", so the boundary sits on
+    * the first DIGIT alternative), and the 7-digit local rule will fire on
+    * any xxx-xxxx run (ISBN/serial fragments included) — demo-grade
+    * scrubbing, deliberately loose toward redaction (a false <PHONE> is
+    * cheap; a leaked number is not).
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b", "<PHONE>")
+    // +1 555-123-4567 / 1 555 123 4567 / (555) 123-4567 / 555.123.4567 ...
+    val full = regexp_replace(ip,
+      "(\\+1[-. ]?|\\b1[-. ])?(\\([0-9]{3}\\)[-. ]?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}\\b",
+      "<PHONE>")
+    regexp_replace(full, "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
   }
 
   /** Corpus-frequency quality signals — the unigram-LM-style filter a
@@ -144,19 +157,27 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Winnowing-style rolling-hash fingerprint (k-gram hashes, window
-    * minima) — deterministic; implemented over the token array without
-    * leaving Catalyst: hash each 3-gram with xxhash64, take the minimum
-    * per document plus the count of distinct k-gram hashes.
+  /** Rolling-hash fingerprint summary: whole-text hash, minimum 3-gram
+    * hash, distinct-3-gram count — a SECOND independent instance of the
+    * polynomial family (seed 13 vs the poly/winnow twins' seed 7), so the
+    * rolling fingerprint carries its own hash space while staying
+    * cross-engine recomputable (round 4 hashed with xxhash64, which no
+    * other engine implements bit-identically — the one permanently
+    * un-oracleable row on the correctness board; xxhash64 carried no
+    * semantic the polynomial family lacks). One typed narrow pass per doc,
+    * no shuffle — the polyFingerprintRows shape.
     */
-  def fingerprintColumns(df: DataFrame, text: Column): DataFrame = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val grams = Shingles.tokenNGrams(tokens, 3)
-    df.select(
-      col("doc_id"),
-      xxhash64(text).as("full_hash"),
-      array_min(transform(grams, g => xxhash64(g))).as("min_gram_hash"),
-      size(array_distinct(grams)).as("n_distinct_grams"))
+  def fingerprintColumns(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val t = sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
+        val grams = graft.ops.Dedup.shinglesOfTokens(t.split("\\s+").filter(_.nonEmpty), 3)
+        (id, polyHashSeeded(t, 13L, 2147483647L),
+          grams.iterator.map(polyHashSeeded(_, 13L, 2147483647L)).min,
+          grams.length.toLong)
+      }
+    }.toDF("doc_id", "full_hash", "min_gram_hash", "n_distinct_grams")
   }
 
   /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod
@@ -203,7 +224,7 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val t = sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
-        val grams = graft.ops.Dedup.shinglesOf(text, 3)
+        val grams = graft.ops.Dedup.shinglesOfTokens(t.split("\\s+").filter(_.nonEmpty), 3)
         (id, polyHash(t), grams.iterator.map(polyHash).min)
       }
     }.toDF("doc_id", "poly_hash", "min_gram_poly")

@@ -80,7 +80,13 @@ object WarcSource {
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
       val statuses = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(path))
       statuses.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
+        // skip _SUCCESS / _tmp-* / .hidden metadata files (the Hadoop
+        // FileInputFormat convention) so a committed WarcWriter directory
+        // reads back as exactly its data files
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
         else Seq(st.getPath.toString)
       }
     }.distinct.sorted

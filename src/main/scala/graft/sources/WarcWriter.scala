@@ -31,6 +31,21 @@ object WarcWriter {
   /** Write `pages` under `outDir` (deleted first — idempotent), one
     * `part-NNNNN.warc.gz` per partition. Returns (path, records) per file;
     * this is an ACTION.
+    *
+    * Commit protocol: each task attempt streams into its OWN
+    * `_tmp-part-NNNNN-<attemptId>` file and renames to the final name on
+    * task success — a retried or speculative attempt can never interleave
+    * bytes with the winner, and a task that dies mid-write leaves only an
+    * underscore-prefixed temp that readers skip ([[WarcSource]] filters
+    * `_`/`.`-prefixed files, the Hadoop convention). The rename loser
+    * deletes its temp and emits nothing; because a partition's content is
+    * deterministic, a store whose rename REPLACES an existing destination
+    * (POSIX) still converges on identical bytes, and the driver-side
+    * `distinct` collapses the duplicate (path, count) report. After all
+    * tasks commit, a `_SUCCESS` marker is written — its absence means a
+    * partial directory (a job that died after some tasks committed), which
+    * [[verifySuccess]] lets a reader reject instead of silently reading a
+    * truncated corpus.
     */
   def writeCorpus(spark: SparkSession, pages: Dataset[Page], outDir: String): Seq[(String, Long)] = {
     import spark.implicits._
@@ -39,13 +54,17 @@ object WarcWriter {
     val fs = out.getFileSystem(conf.value)
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
-    pages.mapPartitions { it =>
+    val files = pages.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val part = TaskContext.getPartitionId()
-        val path = new Path(outDir, f"part-$part%05d.warc.gz")
-        val stream = path.getFileSystem(conf.value).create(path, true)
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val taskFs = new Path(outDir).getFileSystem(conf.value)
+        val tmp = new Path(outDir, f"_tmp-part-$part%05d-$attempt")
+        val dst = new Path(outDir, f"part-$part%05d.warc.gz")
+        val stream = taskFs.create(tmp, true)
         var records = 0L
+        var ok = false
         try {
           stream.write(gzipMember(warcinfoRecord()))
           records += 1
@@ -54,10 +73,26 @@ object WarcWriter {
             stream.write(gzipMember(responseRecord(p)))
             records += 2
           }
-        } finally stream.close()
-        Iterator.single((path.toString, records))
+          ok = true
+        } finally {
+          stream.close()
+          if (!ok) taskFs.delete(tmp, false)
+        }
+        if (taskFs.rename(tmp, dst)) Iterator.single((dst.toString, records))
+        else { taskFs.delete(tmp, false); Iterator.empty } // a sibling attempt won
       }
-    }.collect().toSeq.sortBy(_._1)
+    }.collect().toSeq.distinct.sortBy(_._1)
+    fs.create(new Path(out, "_SUCCESS"), true).close()
+    files
+  }
+
+  /** True iff `dir` carries the `_SUCCESS` marker [[writeCorpus]] writes
+    * after every task committed — reject directories without it (a job
+    * that died mid-write reads back as a valid but truncated corpus).
+    */
+  def verifySuccess(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** One WARC record as bytes: version line + headers + CRLF + payload +

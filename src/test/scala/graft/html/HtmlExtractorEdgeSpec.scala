@@ -82,6 +82,18 @@ class HtmlExtractorEdgeSpec extends AnyFunSuite {
     assert(ex.tables.head.fragment.page == 1)
   }
 
+  test("non-ASCII tag names never alias an interned ASCII name (U+0130)") {
+    // </İ> must tokenize as String.toLowerCase("İ") = "i̇" (2 chars),
+    // NOT as the interned "i" tag — per-char Character.toLowerCase would
+    // collapse it to "i" (the divergence the ASCII-only fast path
+    // prevents). Start tags can't reach this (isNameChar is ASCII-only);
+    // end-tag names are taken verbatim from the source region.
+    val toks = HtmlTokenizer.tokenize("x</İ>y").toList
+    val end = toks.collectFirst { case e: HtmlTokenizer.EndTag => e.name }.get
+    assert(end == "İ".toLowerCase)
+    assert(end == "i̇" && end != "i")
+  }
+
   test("invalid UTF-8 bytes never crash extraction (status stays ok)") {
     val bad = Array[Byte](0x3c, 0x74, 0x61, 0x62, 0x6c, 0x65, 0x3e,
       0xff.toByte, 0xfe.toByte, 0x3c, 0x2f, 0x74, 0x61, 0x62, 0x6c, 0x65, 0x3e)

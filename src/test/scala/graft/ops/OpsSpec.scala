@@ -176,6 +176,11 @@ class OpsSpec extends AnyFunSuite {
       "server 192.168.0.1 and phone 555-123-4567",
       "digits 12345 and version 1.2 stay",       // not phone/IP shaped
       "ip-ish 999.999.999.999 still redacts",     // regex is shape-, not range-checked
+      "call (555) 123-4567 now",                  // parenthesized area code
+      "intl +1 415.555.0100 ok",                  // +1 prefix, dotted
+      "spaced 1 415 555 0100 ok",                 // bare-1 prefix, spaced
+      "local 555-0100 ok",                        // 7-digit local form
+      "date 2024-01-15 stays",                    // not a phone
       "nothing to scrub here").toDF("text")
     val got = rows.select(graft.ops.TextAnalysis.redactPii(col("text")).as("r"))
       .as[String].collect().toSeq
@@ -184,6 +189,11 @@ class OpsSpec extends AnyFunSuite {
       "server <IP> and phone <PHONE>",
       "digits 12345 and version 1.2 stay",
       "ip-ish <IP> still redacts",
+      "call <PHONE> now",
+      "intl <PHONE> ok",
+      "spaced <PHONE> ok",
+      "local <PHONE> ok",
+      "date 2024-01-15 stays",
       "nothing to scrub here"))
   }
 
@@ -242,6 +252,40 @@ class OpsSpec extends AnyFunSuite {
     assert(h2.filter(_ < 2000L) == h)
   }
 
+  test("split composes with sampling: holdout fraction survives a 0.5 downsample") {
+    import spark.implicits._
+    // the r4 trap: split and sample keying low buckets of the SAME hash
+    // made "10% holdout of a 0.5 sample" actually 20% (holdout buckets
+    // survived sampling entirely). With the independent split hash the
+    // holdout share of the SAMPLED corpus stays ~10%.
+    val rows = (0L until 10000L).map(i => (i, "web")).toDF("doc_id", "source")
+    val sampled = Sampling.stratifiedSample(
+      rows, col("source"), col("doc_id"), Map("web" -> 0.5))
+    val (_, holdout) = Sampling.trainHoldoutSplit(sampled, col("doc_id"), holdoutPermille = 100)
+    val nSampled = sampled.count().toDouble
+    val frac = holdout.count() / nSampled
+    assert(frac > 0.07 && frac < 0.13, s"holdout fraction of sample was $frac")
+  }
+
+  test("advanceLedger: re-running the same batch against the advanced ledger accepts nothing") {
+    import spark.implicits._
+    val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
+    val batch = Seq(
+      (10L, "known text"), (7L, "fresh text"), (3L, "fresh text"), (9L, "other fresh"))
+      .toDF("doc_id", "text")
+    val accepted = Dedup.incrementalExactDedup(batch, ledger)
+    // within-batch min-id wins; ledgered hash rejected
+    assert(accepted.collect().map(_.getLong(1)).toSet == Set(3L, 9L))
+    val advanced = Dedup.advanceLedger(ledger, accepted)
+    assert(advanced.count() == 3) // disjoint union: 1 prior + 2 accepted
+    // idempotence: the SAME batch replayed accepts zero rows
+    assert(Dedup.incrementalExactDedup(batch, advanced).count() == 0)
+    // and a later batch still dedups against everything accepted so far
+    val next = Seq((20L, "fresh text"), (21L, "brand new")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExactDedup(next, advanced)
+      .collect().map(_.getLong(1)).toSet == Set(21L))
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
@@ -280,6 +324,23 @@ class OpsSpec extends AnyFunSuite {
         .map { case ((n, _), i) => (q, i + 1, n) }
     }.sorted
     assert(got.toSeq == want)
+  }
+
+  test("rolling fingerprint: poly seed-13 values pinned against a hand computation") {
+    import spark.implicits._
+    // "  Ab c d e  " -> sql-trim + lower -> "ab c d e"; distinct 3-grams
+    // {"ab c d", "c d e"}. Pins: acc = (acc*31 + cp) mod 2^31-1, seed 13
+    // (independently computed — NOT via polyHashSeeded, so a seed/multiplier
+    // regression cannot self-confirm).
+    val df = Seq((1L, "  Ab c d e  "), (2L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintColumns(spark, df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1611439592L, 464658047L, 2L)))
+    // < 3 tokens: the single fallback gram is the whole token string, so
+    // full_hash == min_gram_hash and exactly one distinct gram
+    assert(out(2L)._1 == out(2L)._2 && out(2L)._3 == 1L)
+    // seed 13 is an INDEPENDENT instance: differs from the seed-7 poly twin
+    assert(out(1L)._1 != TextAnalysis.polyHash("ab c d e"))
   }
 
   test("winnowing fingerprint: shared w+k-1 token run guarantees an overlap") {

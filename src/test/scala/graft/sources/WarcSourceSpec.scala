@@ -277,6 +277,27 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("writer commit protocol: _SUCCESS marker, no temp residue, reader skips metadata files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-commit").toString + "/corpus"
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val pages = Seq(
+      graft.pipeline.Page("https://ex.org/a", ts, html1.getBytes(UTF_8), "", "en")).toDS()
+    WarcWriter.writeCorpus(spark, pages, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    // committed data files + the marker; every _tmp-* attempt file renamed or removed
+    assert(names.contains("_SUCCESS"), names.toString)
+    assert(!names.exists(_.startsWith("_tmp-")), names.toString)
+    assert(WarcWriter.verifySuccess(spark, dir))
+    // a stray metadata/partial file is invisible to the reader
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_tmp-part-00099-7"), "garbage".getBytes(UTF_8))
+    assert(spark.read.format("warc").load(dir).count() == 1)
+    // absence of the marker = partial directory
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    assert(!WarcWriter.verifySuccess(spark, dir))
+  }
+
   test("record parser: header map, payload bytes, ISO date micros") {
     val in = new java.io.ByteArrayInputStream(
       record("response", "https://ex.org/p", "2025-06-30T12:34:56.789Z", "BODY!".getBytes(UTF_8)))
