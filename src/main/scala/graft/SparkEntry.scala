@@ -233,6 +233,49 @@ object Queries {
             col("n_table_rows"), size(col("spans")).as("n_spans"), col("status"))
       }),
 
+    // the WARC micro-batch offset arithmetic, driver-visible (the one
+    // engine surface the oracle never touched — streaming itself can't be
+    // DuckDB-checked, but its PARTITION PLANNING can): segments arrive one
+    // per batch (docs bucketed doc_id % 4), and each step drives the REAL
+    // WarcMicroBatchStream — latestOffset over the grown glob, offset JSON
+    // round-trip, planInputPartitions' seen-set subtraction — then reads
+    // exactly the planned new files. Per batch: new-file count (2 —
+    // repartition(2) fixes the one-partition-per-file arithmetic), record
+    // count and the doc_id sum recovered from the urls, all pure functions
+    // of doc_id. Memoized ACTION (PlanSpec jobs-gate pattern).
+    "q_warc_stream_batches" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_warc_stream_batches") {
+        import s.implicits._
+        val nBatches = 4
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-warcstream-${new java.io.File(dir).getName}").getAbsolutePath
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(basePath)) fs.delete(basePath, true)
+        val pages = SyntheticPages.pages(s, dir)
+        val stream = new graft.sources.WarcMicroBatchStream(
+          Map("path" -> s"$base/seg-*"), graft.sources.WarcSource.Schema)
+        var prev = stream.initialOffset()
+        val perBatch = (0 until nBatches).map { k =>
+          graft.sources.WarcWriter.writeCorpus(s,
+            pages.filter(p => p.url.substring(p.url.length - 8).toLong % nBatches == k)
+              .repartition(2),
+            s"$base/seg-$k")
+          // offset JSON round-trip + seen-set subtraction: the planned
+          // partitions must be exactly this segment's data files
+          val cur = stream.deserializeOffset(stream.latestOffset().json())
+          val parts = stream.planInputPartitions(prev, cur)
+          prev = cur
+          val newFiles = parts.map(_.asInstanceOf[graft.sources.WarcFilePartition].path)
+          val agg = s.read.format("warc").load(newFiles.toIndexedSeq: _*)
+            .select(substring(col("url"), -8, 8).cast("long").as("doc_id"))
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"))
+            .collect()(0)
+          (k.toLong, newFiles.length.toLong, agg.getLong(0), agg.getLong(1))
+        }
+        perBatch.toDF("batch", "n_new_files", "n_records", "sum_doc_id")
+      }),
+
     // ----- relational layer (oracle-checked)
     "q1_agg" -> ((s, dir) =>
       lineitem(s, dir)
@@ -1007,6 +1050,15 @@ object Queries {
         |  CAST(m3 + m9 + m5 + pre AS INT) AS n_spans,
         |  'ok' AS status
         |FROM f""".stripMargin,
+    // micro-batch planning arithmetic: batch k = the doc_id % 4 == k
+    // segment, delivered whole (2 files — fixed by repartition(2)); record
+    // count and id-sum are pure doc_id functions
+    "q_warc_stream_batches" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
+        |  CAST(2 AS BIGINT) AS n_new_files,
+        |  count(*) AS n_records,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY doc_id % 4""".stripMargin,
     "q_cosine_near_dup" ->
       """WITH planted AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

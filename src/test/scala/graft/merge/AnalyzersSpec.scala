@@ -444,6 +444,18 @@ class AnalyzersSpec extends AnyFunSuite {
     assert(Analyzers.cellStrings(Cell.Null).isEmpty)
   }
 
+  test("extract_column_str_values returns empty for None (null column value)") {
+    // test_analyzers.py:817: JaccardMergeTimeAnalyzer()
+    //   .extract_column_str_values(None) == []. The engine folds that
+    // extraction into the analyzer's value-set walk, so the pin is
+    // behavioral: a numeric-named column holding only Null cells has an
+    // EMPTY value set — zero jaccard against everything, no mapping (were
+    // nulls extracted as strings, the sets would intersect and map)
+    val left = wrap(s("family" -> "Apiaceae"), s("family" -> "Rosaceae"))
+    val right = wrap(r("0" -> Cell.Null), r("0" -> Cell.Null))
+    assert(jaccardMapping(new JaccardMergeTimeAnalyzer(), left, right).isEmpty)
+  }
+
   // ---- jaccard with schema (test_jaccard_*_schema_*) -----------------------
 
   test("jaccard renames semantic-not-in-schema to a schema column") {
