@@ -347,15 +347,18 @@ object HtmlExtractor {
               case _ =>
             }
           }
-        case TextTok(text, _) =>
+        case t: TextTok =>
           if (skipDepth == 0) {
-            if (preBuilder != null) preBuilder.append(text)
+            if (preBuilder != null) t.appendTo(preBuilder)
             else if (tableStack.nonEmpty) {
-              val t = tableStack.top
-              if (t.currentCell != null) t.currentCell.text.append(text)
+              val tb = tableStack.top
+              if (tb.currentCell != null) t.appendTo(tb.currentCell.text)
             } else {
-              blockText.append(text)
-              if (linkDepth > 0) blockLinkChars += Text.collapseWhitespace(text).length
+              // range append — the decoded run streams into the block
+              // builder with no per-run substring (link text still
+              // materializes once for the collapsed-length count)
+              t.appendTo(blockText)
+              if (linkDepth > 0) blockLinkChars += Text.collapseWhitespace(t.text).length
               if (headingDepth > 0) blockHeading = true
             }
           }

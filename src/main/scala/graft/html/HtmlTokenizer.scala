@@ -14,9 +14,41 @@ object HtmlTokenizer {
   sealed trait Tok { def pos: Int }
   final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int) extends Tok
   final case class EndTag(name: String, pos: Int, endPos: Int) extends Tok
-  final case class TextTok(text: String, pos: Int) extends Tok
+
+  /** A text run as a RANGE over the source string — the decoded text is
+    * materialized lazily ([[text]]) or streamed straight into a builder
+    * ([[appendTo]], the hot path: entity-free runs append as a char range
+    * with no per-run substring, which was the tokenizer's largest
+    * allocation class).
+    */
+  final case class TextTok(src: String, start: Int, endIdx: Int, pos: Int) extends Tok {
+    /** Entity-decoded text (allocates; prefer [[appendTo]] on hot paths). */
+    def text: String =
+      if (indexOfIn(src, '&', start, endIdx) < 0) src.substring(start, endIdx)
+      else {
+        val sb = new java.lang.StringBuilder(endIdx - start)
+        decodeEntitiesInto(sb, src, start, endIdx)
+        sb.toString
+      }
+
+    /** Append the entity-decoded run to `sb` without intermediate strings. */
+    def appendTo(sb: java.lang.StringBuilder): Unit = {
+      val amp = indexOfIn(src, '&', start, endIdx)
+      if (amp < 0) { sb.append(src, start, endIdx); () }
+      else decodeEntitiesInto(sb, src, start, endIdx)
+    }
+  }
 
   private val RawTextTags = Set("script", "style")
+
+  /** The only attribute names HtmlExtractor ever reads (`data-page` page
+    * splits, `rowspan`/`colspan` grid resolution). Start-tag parsing scans
+    * every attribute for correctness but materializes only these — on
+    * attr-dense real-world pages (class/style/href on most tags) the
+    * dropped name/value substrings were pure allocation-rate overhead.
+    * Extend this array if the extractor starts consuming a new attribute.
+    */
+  private val RetainedAttrs = Array("data-page", "rowspan", "colspan")
 
   private val NamedEntities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
@@ -110,31 +142,52 @@ object HtmlTokenizer {
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
-          val body = s.substring(i + 1, semi)
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            try {
-              val cp = Integer.parseInt(body.substring(2), 16)
-              sb.appendCodePoint(cp); i = semi + 1
-            } catch { case _: Exception => sb.append(c); i += 1 }
-          } else if (body.startsWith("#")) {
-            try {
-              val cp = Integer.parseInt(body.substring(1))
-              sb.appendCodePoint(cp); i = semi + 1
-            } catch { case _: Exception => sb.append(c); i += 1 }
-          } else NamedEntities.get(body) match {
-            case Some(rep) => sb.append(rep); i = semi + 1
-            case None => sb.append(c); i += 1
-          }
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
+    decodeEntitiesInto(sb, s, 0, s.length)
     sb.toString
+  }
+
+  /** First index of `c` in s[from, to), or -1 — a bounded indexOf. */
+  private[html] def indexOfIn(s: String, c: Char, from: Int, to: Int): Int = {
+    var i = from
+    while (i < to) {
+      if (s.charAt(i) == c) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Range form of [[decodeEntities]]: decode s[from, to) into `sb`
+    * without materializing the slice; entity-free stretches append as
+    * bulk char ranges. Entity handling is byte-identical to the string
+    * form (an entity's `;` must fall INSIDE the range, as it had to fall
+    * inside the substring before).
+    */
+  private[html] def decodeEntitiesInto(sb: java.lang.StringBuilder, s: String, from: Int, to: Int): Unit = {
+    var i = from
+    while (i < to) {
+      val amp = indexOfIn(s, '&', i, to)
+      if (amp < 0) { sb.append(s, i, to); return }
+      if (amp > i) sb.append(s, i, amp)
+      i = amp
+      val semi = indexOfIn(s, ';', i + 1, to)
+      if (semi > i && semi - i <= 10) {
+        val body = s.substring(i + 1, semi)
+        if (body.startsWith("#x") || body.startsWith("#X")) {
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            sb.appendCodePoint(cp); i = semi + 1
+          } catch { case _: Exception => sb.append('&'); i += 1 }
+        } else if (body.startsWith("#")) {
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            sb.appendCodePoint(cp); i = semi + 1
+          } catch { case _: Exception => sb.append('&'); i += 1 }
+        } else NamedEntities.get(body) match {
+          case Some(rep) => sb.append(rep); i = semi + 1
+          case None => sb.append('&'); i += 1
+        }
+      } else { sb.append('&'); i += 1 }
+    }
   }
 
   /** Tokenize a decoded HTML string. Emits TextTok with entities decoded. */
@@ -168,10 +221,10 @@ object HtmlTokenizer {
         } else {
           val lt = html.indexOf('<', i)
           if (lt < 0) {
-            if (i < html.length) nextTok = TextTok(decodeEntities(html.substring(i)), i)
+            if (i < html.length) nextTok = TextTok(html, i, html.length, i)
             i = html.length
           } else if (lt > i) {
-            nextTok = TextTok(decodeEntities(html.substring(i, lt)), i)
+            nextTok = TextTok(html, i, lt, i)
             i = lt
           } else {
             // at a '<'
@@ -219,7 +272,9 @@ object HtmlTokenizer {
         return StartTag("", Nil, selfClosing = true, start, start + 1)
       }
       val name = internedName(html, nameStart, j)
-      val attrs = List.newBuilder[(String, String)]
+      // built reversed via ::, reversed once at the end — no builder
+      // allocation on the (overwhelmingly common) attribute-free tag
+      var attrs: List[(String, String)] = Nil
       var selfClosing = false
       var done = false
       while (!done && j < html.length) {
@@ -234,7 +289,10 @@ object HtmlTokenizer {
             val aStart = j
             while (j < html.length && !Character.isWhitespace(html.charAt(j)) &&
               html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-            val aName = internedName(html, aStart, j)
+            // prune at the scan: only RetainedAttrs are ever consumed
+            // downstream, so other attributes are SCANNED (quote handling
+            // must stay exact) but their name/value never materialize
+            val aName = retainedAttr(html, aStart, j)
             while (j < html.length && Character.isWhitespace(html.charAt(j))) j += 1
             var aVal = ""
             if (j < html.length && html.charAt(j) == '=') {
@@ -244,18 +302,42 @@ object HtmlTokenizer {
                 val q = html.charAt(j)
                 val vStart = j + 1
                 val vEnd = html.indexOf(q, vStart)
-                if (vEnd < 0) { aVal = html.substring(vStart); j = html.length }
-                else { aVal = html.substring(vStart, vEnd); j = vEnd + 1 }
+                if (vEnd < 0) { if (aName != null) aVal = html.substring(vStart); j = html.length }
+                else { if (aName != null) aVal = html.substring(vStart, vEnd); j = vEnd + 1 }
               } else {
                 val vStart = j
                 while (j < html.length && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '>') j += 1
-                aVal = html.substring(vStart, j)
+                if (aName != null) aVal = html.substring(vStart, j)
               }
             }
-            if (aName.nonEmpty) attrs += ((aName, decodeEntities(aVal)))
+            if (aName != null) attrs = (aName, decodeEntities(aVal)) :: attrs
         }
       }
-      StartTag(name, attrs.result(), selfClosing, start, j)
+      StartTag(name, attrs.reverse, selfClosing, start, j)
+    }
+
+    /** The interned attribute name iff html[start, end) ASCII-case-
+      * insensitively matches one the extractor consumes; null otherwise
+      * (allocation-free either way).
+      */
+    private def retainedAttr(html: String, start: Int, end: Int): String = {
+      val len = end - start
+      var k = 0
+      while (k < RetainedAttrs.length) {
+        val t = RetainedAttrs(k)
+        if (t.length == len) {
+          var j = 0
+          var ok = true
+          while (ok && j < len) {
+            val c = html.charAt(start + j)
+            if (c >= 0x80 || lowerAscii(c) != t.charAt(j)) ok = false
+            j += 1
+          }
+          if (ok) return t
+        }
+        k += 1
+      }
+      null
     }
 
     @inline private def isNameChar(c: Char): Boolean =
