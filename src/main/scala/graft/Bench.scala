@@ -87,7 +87,7 @@ object Bench {
       "extract_pages", "extract_tables_flat", "extract_flat_counts",
       "extract_mapped", "merge_agreement",
       "tablestats_global", "tablestats_per_doc", "q1_agg", "q_window_events",
-      "q_anti_join_resume", "q_join_agg_nation", "q_token_count",
+      "q_anti_join_resume", "q_join_agg_nation", "q_token_count", "q_token_count_bpe",
       "q_quality_score", "q_lang_id", "q_fingerprint_poly",
       "q_fingerprint_winnow", "q_merged_column_agreement",
       "q_repetition_signals", "q_dup_clusters", "q_curation_pipeline",

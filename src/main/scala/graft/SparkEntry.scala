@@ -326,6 +326,18 @@ object Queries {
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    // BPE-ish pre-token counting (the brief's second token-counting mode):
+    // planted contraction/digit/punctuation tail exercises every pattern
+    // class with doc_id-dependent digit lengths
+    "q_token_count_bpe" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" it's v2.0 #"), col("doc_id").cast("string"),
+        lit(", cost $"), (col("doc_id") % 97).cast("string"), lit(".50!"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(planted).as("n_tokens_ws"),
+        TextAnalysis.bpeTokenCount(planted).as("n_tokens_bpe"))
+    }),
+
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), col("text"))),
 
@@ -1214,6 +1226,19 @@ object Queries {
     "q_token_count" ->
       """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         |FROM documents""".stripMargin,
+    // identical GPT-2-ish pattern (RE2-safe subset; '' = escaped quote)
+    "q_token_count_bpe" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' it''s v2.0 #' || CAST(doc_id AS VARCHAR)
+        |      || ', cost $' || CAST(doc_id % 97 AS VARCHAR) || '.50!' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(regexp_split_to_array(trim(t), '\s+')) AS n_tokens_ws,
+        |  length(regexp_extract_all(t,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+        |    AS n_tokens_bpe
+        |FROM p""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -10,10 +10,31 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (BPE-ish regex splitting; matches the DuckDB
+  /** Whitespace token count (matches the DuckDB
     * oracle `length(regexp_split_to_array(trim(text),'\s+'))`).
     */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** GPT-2-style pre-tokenizer pattern, restricted to the regex subset
+    * Java regex and RE2 implement identically: common contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * and residual whitespace. The real GPT-2 pattern's trailing
+    * `\s+(?!\S)` lookahead is RE2-inexpressible, so residual whitespace
+    * runs count as single tokens here — the standard lookahead-free
+    * approximation. Counting matches of this pattern estimates the
+    * subword-token budget far better than whitespace counting (BPE
+    * splits punctuation and numbers; a token budget sized on whitespace
+    * words under-counts code/markup-heavy text badly).
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish pre-token count: matches of [[BpePattern]] (codegen'd
+    * regexp_extract_all — no UDF; DuckDB recomputes with its own
+    * regexp_extract_all over the identical pattern).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   /** Integer quality components (exact across engines — no float ratios). */
   def qualityComponents(df: DataFrame, text: Column): DataFrame =

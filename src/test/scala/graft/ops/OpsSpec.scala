@@ -169,6 +169,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.shinglesOf("  aa bb cc  ", 3).toSet == Set("aa bb cc"))
   }
 
+  test("BPE-ish token counting: hand-pinned pattern classes") {
+    import spark.implicits._
+    def counts(t: String): (Int, Int) = {
+      val r = Seq(t).toDF("text").select(
+        TextAnalysis.tokenCount(col("text")), TextAnalysis.bpeTokenCount(col("text")))
+        .collect()(0)
+      (r.getInt(0), r.getInt(1))
+    }
+    // it|'s| a|2|b| 3|.|14|,| ok|! — contraction, letter runs, digit runs,
+    // punct runs, space-prefix absorption: 11 BPE pre-tokens vs 4 ws words
+    assert(counts("it's a2b 3.14, ok!") == ((4, 11)))
+    // residual whitespace runs collapse to ONE token (the documented
+    // lookahead-free approximation): a|(2 spaces)|b
+    assert(counts("a  b") == ((2, 3)))
+    // BPE splits what whitespace counting can't see: markup-ish text is
+    // ONE whitespace word but 7 pre-tokens: <|td|>|42|</|td|>
+    assert(counts("<td>42</td>") == ((1, 7)))
+  }
+
   test("PII redaction: placeholders, ordering, and non-PII text untouched") {
     import spark.implicits._
     val rows = Seq(
