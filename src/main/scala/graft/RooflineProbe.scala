@@ -187,8 +187,12 @@ object RooflineProbe {
         s""""extract_write_gbps_32":${
           f"${extractRates.last._2 * allocPerPage / 1e9}%.2f"},""" +
         s""""jit_tier":"${sys.env.getOrElse("GRAFT_JIT_TIER", "4")}","blackhole":${blackhole.get() % 97}}"""
+    // surface a failed write loudly: a silently-stale roofline_result.json
+    // is indistinguishable from a fresh one (the round-3 stale-bench-file
+    // misdiagnosis, BENCH.md) — stdout remains the authoritative channel
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("roofline_result.json"), json + "\n")
-    catch { case _: Exception => }
+    catch { case e: Exception =>
+      System.err.println(s"[roofline] WARNING: could not write roofline_result.json: $e") }
     println(json)
   }
 }

@@ -1236,7 +1236,7 @@ object Queries {
         |SELECT doc_id,
         |  length(regexp_split_to_array(trim(t), '\s+')) AS n_tokens_ws,
         |  length(regexp_extract_all(t,
-        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t-\r]+|[ \t-\r]+'))
         |    AS n_tokens_bpe
         |FROM p""".stripMargin,
     "q_quality_score" ->
@@ -1526,9 +1526,11 @@ object Queries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
-    // full IVF recompute: same poly-hash centroid order, same argmax-cosine
-    // cell assignment (ties: centroid id asc), same nProbe=4 probing, same
-    // rank tiebreak — both engines score in float64
+    // full IVF recompute: same poly-hash centroid order, same QUANTIZED
+    // argmax-cosine cell assignment (floor(cos*2^20 + 0.5), cid tie-break
+    // — mirrors Similarity.nearestCells/nearestCellIdx, one comparison
+    // across every IVF surface), same nProbe=4 probing, same rank tiebreak
+    // — both engines score in float64
     "q_ann_ivf" ->
       """WITH ph AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1542,13 +1544,15 @@ object Queries {
         |  SELECT vec_id, emb, cid FROM (
         |    SELECT p.vec_id, p.emb, c.cid,
         |      row_number() OVER (PARTITION BY p.vec_id
-        |        ORDER BY list_cosine_similarity(p.emb, c.cemb) DESC, c.cid ASC) AS rn
+        |        ORDER BY CAST(floor(list_cosine_similarity(p.emb, c.cemb) * 1048576 + 0.5)
+        |                 AS BIGINT) DESC, c.cid ASC) AS rn
         |    FROM ph p CROSS JOIN cent c) WHERE rn = 1),
         |probes AS (
         |  SELECT query_id, qemb, cid FROM (
         |    SELECT p.vec_id AS query_id, p.emb AS qemb, c.cid,
         |      row_number() OVER (PARTITION BY p.vec_id
-        |        ORDER BY list_cosine_similarity(p.emb, c.cemb) DESC, c.cid ASC) AS rn
+        |        ORDER BY CAST(floor(list_cosine_similarity(p.emb, c.cemb) * 1048576 + 0.5)
+        |                 AS BIGINT) DESC, c.cid ASC) AS rn
         |    FROM ph p CROSS JOIN cent c WHERE p.vec_id < 10) WHERE rn <= 4),
         |scored AS (
         |  SELECT pr.query_id, a.vec_id AS neighbor_id,

@@ -149,9 +149,15 @@ object Similarity {
     require(cents.nonEmpty, "empty corpus: no centroids")
     val bc = spark.sparkContext.broadcast(cents)
 
+    // QUANTIZED ranking + cid tie-break, the same comparison as
+    // nearestCellIdx — keeps the assignment identical across every IVF
+    // surface (cell stats, Lloyd refinement, top-k probing) and immune to
+    // the sub-ulp cross-engine normalization differences the oracle's own
+    // quantized ORDER BY absorbs
     def nearestCells(emb: Array[Float], n: Int): Array[Long] =
       bc.value
-        .map { case (cid, cemb) => (cid, cosineF(emb, cemb)) }
+        .map { case (cid, cemb) =>
+          (cid, math.floor(cosineF(emb, cemb) * FixedPointScale + 0.5).toLong) }
         .sortBy { case (cid, s) => (-s, cid) }
         .take(n).map(_._1)
 

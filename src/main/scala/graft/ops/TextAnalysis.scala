@@ -21,13 +21,18 @@ object TextAnalysis {
     * and residual whitespace. The real GPT-2 pattern's trailing
     * `\s+(?!\S)` lookahead is RE2-inexpressible, so residual whitespace
     * runs count as single tokens here — the standard lookahead-free
-    * approximation. Counting matches of this pattern estimates the
-    * subword-token budget far better than whitespace counting (BPE
-    * splits punctuation and numbers; a token budget sized on whitespace
-    * words under-counts code/markup-heavy text badly).
+    * approximation. Whitespace is the EXPLICIT class `[ \t-\r]` (space +
+    * U+0009–U+000D), not `\s`: Java's `\s` includes U+000B but RE2's does
+    * not, so a bare `\s` would diverge from the DuckDB oracle on any text
+    * containing a vertical tab; the explicit range means the same bytes
+    * in both engines (and equals Java's `\s` exactly). Counting matches
+    * of this pattern estimates the subword-token budget far better than
+    * whitespace counting (BPE splits punctuation and numbers; a token
+    * budget sized on whitespace words under-counts code/markup-heavy
+    * text badly).
     */
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t-\\r]+|[ \\t-\\r]+"
 
   /** BPE-ish pre-token count: matches of [[BpePattern]] (codegen'd
     * regexp_extract_all — no UDF; DuckDB recomputes with its own

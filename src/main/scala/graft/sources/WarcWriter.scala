@@ -38,9 +38,9 @@ object WarcWriter {
     * bytes with the winner, and a task that dies mid-write leaves only an
     * underscore-prefixed temp that readers skip ([[WarcSource]] filters
     * `_`/`.`-prefixed files, the Hadoop convention). The rename loser
-    * deletes its temp and emits nothing; because a partition's content is
-    * deterministic, a store whose rename REPLACES an existing destination
-    * (POSIX) still converges on identical bytes, and the driver-side
+    * deletes its temp and reports the winner's (identical, deterministic)
+    * file; a store whose rename REPLACES an existing destination (POSIX)
+    * converges on identical bytes the same way, and the driver-side
     * `distinct` collapses the duplicate (path, count) report. After all
     * tasks commit, a `_SUCCESS` marker is written — its absence means a
     * partial directory (a job that died after some tasks committed), which
@@ -79,7 +79,19 @@ object WarcWriter {
           if (!ok) taskFs.delete(tmp, false)
         }
         if (taskFs.rename(tmp, dst)) Iterator.single((dst.toString, records))
-        else { taskFs.delete(tmp, false); Iterator.empty } // a sibling attempt won
+        else {
+          // a sibling attempt already committed (stores with rename-fails-
+          // if-exists semantics, e.g. HDFS). The partition's content is
+          // deterministic, so this attempt's count describes the winner's
+          // file too — REPORT it anyway (the winning attempt's task may
+          // have died after its rename, making this retry the only
+          // reporter); the driver-side distinct collapses duplicates. A
+          // failed rename with NO committed file is a real commit error.
+          taskFs.delete(tmp, false)
+          if (!taskFs.exists(dst))
+            throw new java.io.IOException(s"WARC commit failed: rename to $dst lost with no winner")
+          Iterator.single((dst.toString, records))
+        }
       }
     }.collect().toSeq.distinct.sortBy(_._1)
     fs.create(new Path(out, "_SUCCESS"), true).close()
