@@ -295,75 +295,81 @@ object HtmlExtractor {
       blockHeading = false
     }
 
-    val toks = HtmlTokenizer.tokenize(html)
-    while (toks.hasNext) {
-      toks.next() match {
-        case StartTag(name, attrs, selfClosing, pos, endPos) =>
-          attrs.collectFirst { case ("data-page", v) => v }.foreach { v =>
-            try { flushBlock(); pageNum = v.trim.toInt } catch { case _: NumberFormatException => }
+    // sink-driven scan: the tokenizer calls straight into this handler —
+    // no Tok objects, no iterator hand-off (the token stream is consumed
+    // exactly once in order; the Iterator form remains for tests)
+    HtmlTokenizer.tokenizeInto(html, new HtmlTokenizer.TokSink {
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit = {
+        attrs.collectFirst { case ("data-page", v) => v }.foreach { v =>
+          try { flushBlock(); pageNum = v.trim.toInt } catch { case _: NumberFormatException => }
+        }
+        if (SkipSubtrees.contains(name) && !selfClosing) skipDepth += 1
+        else if (name == "pre" && tableStack.isEmpty && skipDepth == 0) {
+          flushBlock()
+          preBuilder = new java.lang.StringBuilder
+          preStart = pos
+        } else if (skipDepth == 0 && preBuilder == null) {
+          if (BoilerContainers.contains(name) && !selfClosing) { flushBlock(); boilerDepth += 1 }
+          name match {
+            case "table" =>
+              flushBlock()
+              tableStack.push(new TableBuilder(pageNum, pos))
+            case "tr" if tableStack.nonEmpty => tableStack.top.startRow()
+            case "td" | "th" if tableStack.nonEmpty =>
+              val rowspan = attrs.collectFirst { case ("rowspan", v) => v.trim }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+              val colspan = attrs.collectFirst { case ("colspan", v) => v.trim }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+              tableStack.top.startCell(name == "th", rowspan, colspan)
+            case "a" => linkDepth += 1
+            case h if HeadingTags.contains(h) =>
+              flushBlock(); headingDepth += 1; blockHeading = true
+            case b if BlockTags.contains(b) && tableStack.isEmpty => flushBlock()
+            case _ =>
           }
-          if (SkipSubtrees.contains(name) && !selfClosing) skipDepth += 1
-          else if (name == "pre" && tableStack.isEmpty && skipDepth == 0) {
-            flushBlock()
-            preBuilder = new java.lang.StringBuilder
-            preStart = pos
-          } else if (skipDepth == 0 && preBuilder == null) {
-            if (BoilerContainers.contains(name) && !selfClosing) { flushBlock(); boilerDepth += 1 }
-            name match {
-              case "table" =>
-                flushBlock()
-                tableStack.push(new TableBuilder(pageNum, pos))
-              case "tr" if tableStack.nonEmpty => tableStack.top.startRow()
-              case "td" | "th" if tableStack.nonEmpty =>
-                val rowspan = attrs.collectFirst { case ("rowspan", v) => v.trim }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
-                val colspan = attrs.collectFirst { case ("colspan", v) => v.trim }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
-                tableStack.top.startCell(name == "th", rowspan, colspan)
-              case "a" => linkDepth += 1
-              case h if HeadingTags.contains(h) =>
-                flushBlock(); headingDepth += 1; blockHeading = true
-              case b if BlockTags.contains(b) && tableStack.isEmpty => flushBlock()
-              case _ =>
-            }
-          }
-        case EndTag(name, pos, endPos) =>
-          if (SkipSubtrees.contains(name)) { if (skipDepth > 0) skipDepth -= 1 }
-          else if (name == "pre" && preBuilder != null) {
-            val preText = decodePre(preBuilder.toString)
-            preTableFromText(preText, pageNum, preStart, endPos).foreach(preOf(pageNum) += _)
-            preBuilder = null
-          } else if (skipDepth == 0 && preBuilder == null) {
-            if (BoilerContainers.contains(name)) { flushBlock(); if (boilerDepth > 0) boilerDepth -= 1 }
-            name match {
-              case "table" if tableStack.nonEmpty =>
-                val tb = tableStack.pop()
-                val (raw, _) = tb.build(endPos)
-                if (raw.grid.nonEmpty || raw.headerFromTh.nonEmpty) markupOf(tb.page) += raw
-              case "tr" if tableStack.nonEmpty => tableStack.top.endRow()
-              case "td" | "th" if tableStack.nonEmpty => tableStack.top.endCell()
-              case "a" => if (linkDepth > 0) linkDepth -= 1
-              case h if HeadingTags.contains(h) =>
-                flushBlock(); if (headingDepth > 0) headingDepth -= 1
-              case b if BlockTags.contains(b) && tableStack.isEmpty => flushBlock()
-              case _ =>
-            }
-          }
-        case t: TextTok =>
-          if (skipDepth == 0) {
-            if (preBuilder != null) t.appendTo(preBuilder)
-            else if (tableStack.nonEmpty) {
-              val tb = tableStack.top
-              if (tb.currentCell != null) t.appendTo(tb.currentCell.text)
-            } else {
-              // range append — the decoded run streams into the block
-              // builder with no per-run substring (link text still
-              // materializes once for the collapsed-length count)
-              t.appendTo(blockText)
-              if (linkDepth > 0) blockLinkChars += Text.collapseWhitespace(t.text).length
-              if (headingDepth > 0) blockHeading = true
-            }
-          }
+        }
       }
-    }
+
+      def endTag(name: String, pos: Int, endPos: Int): Unit = {
+        if (SkipSubtrees.contains(name)) { if (skipDepth > 0) skipDepth -= 1 }
+        else if (name == "pre" && preBuilder != null) {
+          val preText = decodePre(preBuilder.toString)
+          preTableFromText(preText, pageNum, preStart, endPos).foreach(preOf(pageNum) += _)
+          preBuilder = null
+        } else if (skipDepth == 0 && preBuilder == null) {
+          if (BoilerContainers.contains(name)) { flushBlock(); if (boilerDepth > 0) boilerDepth -= 1 }
+          name match {
+            case "table" if tableStack.nonEmpty =>
+              val tb = tableStack.pop()
+              val (raw, _) = tb.build(endPos)
+              if (raw.grid.nonEmpty || raw.headerFromTh.nonEmpty) markupOf(tb.page) += raw
+            case "tr" if tableStack.nonEmpty => tableStack.top.endRow()
+            case "td" | "th" if tableStack.nonEmpty => tableStack.top.endCell()
+            case "a" => if (linkDepth > 0) linkDepth -= 1
+            case h if HeadingTags.contains(h) =>
+              flushBlock(); if (headingDepth > 0) headingDepth -= 1
+            case b if BlockTags.contains(b) && tableStack.isEmpty => flushBlock()
+            case _ =>
+          }
+        }
+      }
+
+      def text(src: String, start: Int, end: Int, pos: Int): Unit = {
+        if (skipDepth == 0) {
+          if (preBuilder != null) HtmlTokenizer.appendRangeTo(preBuilder, src, start, end)
+          else if (tableStack.nonEmpty) {
+            val tb = tableStack.top
+            if (tb.currentCell != null) HtmlTokenizer.appendRangeTo(tb.currentCell.text, src, start, end)
+          } else {
+            // range append — the decoded run streams into the block
+            // builder with no per-run substring (link text still
+            // materializes once for the collapsed-length count)
+            HtmlTokenizer.appendRangeTo(blockText, src, start, end)
+            if (linkDepth > 0)
+              blockLinkChars += Text.collapseWhitespace(HtmlTokenizer.rangeText(src, start, end)).length
+            if (headingDepth > 0) blockHeading = true
+          }
+        }
+      }
+    })
     flushBlock()
     // close unclosed tables (malformed html)
     while (tableStack.nonEmpty) {

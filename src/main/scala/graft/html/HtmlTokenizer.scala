@@ -23,20 +23,45 @@ object HtmlTokenizer {
     */
   final case class TextTok(src: String, start: Int, endIdx: Int, pos: Int) extends Tok {
     /** Entity-decoded text (allocates; prefer [[appendTo]] on hot paths). */
-    def text: String =
-      if (indexOfIn(src, '&', start, endIdx) < 0) src.substring(start, endIdx)
-      else {
-        val sb = new java.lang.StringBuilder(endIdx - start)
-        decodeEntitiesInto(sb, src, start, endIdx)
-        sb.toString
-      }
+    def text: String = rangeText(src, start, endIdx)
 
     /** Append the entity-decoded run to `sb` without intermediate strings. */
-    def appendTo(sb: java.lang.StringBuilder): Unit = {
-      val amp = indexOfIn(src, '&', start, endIdx)
-      if (amp < 0) { sb.append(src, start, endIdx); () }
-      else decodeEntitiesInto(sb, src, start, endIdx)
+    def appendTo(sb: java.lang.StringBuilder): Unit =
+      appendRangeTo(sb, src, start, endIdx)
+  }
+
+  /** Entity-decoded text of html[start, end) (static form of
+    * [[TextTok.text]] for [[TokSink.text]] consumers).
+    */
+  def rangeText(src: String, start: Int, end: Int): String =
+    if (indexOfIn(src, '&', start, end) < 0) src.substring(start, end)
+    else {
+      val sb = new java.lang.StringBuilder(end - start)
+      decodeEntitiesInto(sb, src, start, end)
+      sb.toString
     }
+
+  /** Append the entity-decoded run html[start, end) to `sb` without
+    * intermediate strings (static form of [[TextTok.appendTo]]).
+    */
+  def appendRangeTo(sb: java.lang.StringBuilder, src: String, start: Int, end: Int): Unit = {
+    val amp = indexOfIn(src, '&', start, end)
+    if (amp < 0) { sb.append(src, start, end); () }
+    else decodeEntitiesInto(sb, src, start, end)
+  }
+
+  /** Streaming consumer of the token scan — the allocation-free hot path:
+    * [[tokenizeInto]] drives a sink with NO per-token object (the
+    * Iterator[Tok] form allocates a case-class instance per tag/text run,
+    * ~150 objects per typical page; the extraction stage consumes tokens
+    * exactly once in order, so the iterator indirection bought nothing).
+    * Text runs arrive as (src, start, end) ranges with entities NOT yet
+    * decoded — use [[appendRangeTo]]/[[rangeText]].
+    */
+  trait TokSink {
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit
+    def endTag(name: String, pos: Int, endPos: Int): Unit
+    def text(src: String, start: Int, end: Int, pos: Int): Unit
   }
 
   private val RawTextTags = Set("script", "style")
@@ -191,85 +216,38 @@ object HtmlTokenizer {
   }
 
   /** Tokenize a decoded HTML string. Emits TextTok with entities decoded. */
-  def tokenize(html: String): Iterator[Tok] = new Iterator[Tok] {
-    private var i = 0
-    private var pendingRawEnd: String = null // inside <script>/<style>: skip to this end tag
-    private var nextTok: Tok = null
-
-    advance()
-
-    override def hasNext: Boolean = nextTok != null
-    override def next(): Tok = {
-      val t = nextTok
-      advance()
-      t
-    }
-
-    private def advance(): Unit = {
-      nextTok = null
-      while (nextTok == null && i < html.length) {
-        if (pendingRawEnd != null) {
-          val close = indexOfIgnoreCase(html, pendingRawEnd, i)
-          val endName = pendingRawEnd.substring(2)
-          if (close < 0) { i = html.length; pendingRawEnd = null }
-          else {
-            val gt = html.indexOf('>', close)
-            i = if (gt < 0) html.length else gt + 1
-            nextTok = EndTag(endName, close, i)
-            pendingRawEnd = null
-          }
-        } else {
-          val lt = html.indexOf('<', i)
-          if (lt < 0) {
-            if (i < html.length) nextTok = TextTok(html, i, html.length, i)
-            i = html.length
-          } else if (lt > i) {
-            nextTok = TextTok(html, i, lt, i)
-            i = lt
-          } else {
-            // at a '<'
-            if (html.startsWith("<!--", i)) {
-              val close = html.indexOf("-->", i + 4)
-              i = if (close < 0) html.length else close + 3
-            } else if (html.startsWith("<![CDATA[", i)) {
-              val close = html.indexOf("]]>", i + 9)
-              i = if (close < 0) html.length else close + 3
-            } else if (i + 1 < html.length && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-              val gt = html.indexOf('>', i)
-              i = if (gt < 0) html.length else gt + 1
-            } else if (i + 1 < html.length && html.charAt(i + 1) == '/') {
-              val gt = html.indexOf('>', i)
-              if (gt < 0) { i = html.length }
-              else {
-                var ns = i + 2
-                var ne = gt
-                while (ns < ne && html.charAt(ns) <= ' ') ns += 1 // String.trim semantics
-                while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
-                nextTok = EndTag(internedName(html, ns, ne), i, gt + 1)
-                i = gt + 1
-              }
-            } else {
-              parseStartTag(lt) match {
-                case null => i = html.length
-                case st =>
-                  nextTok = st
-                  i = st.endPos
-                  if (!st.selfClosing && RawTextTags.contains(st.name))
-                    pendingRawEnd = "</" + st.name
-              }
-            }
-          }
-        }
+  /** Tokenize a decoded HTML string into a buffered token sequence — the
+    * convenience/test surface over [[tokenizeInto]]. The extraction hot
+    * path drives a [[TokSink]] directly and allocates no Tok objects.
+    */
+  def tokenize(html: String): Iterator[Tok] = {
+    val buf = Vector.newBuilder[Tok]
+    tokenizeInto(html, new TokSink {
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit = {
+        buf += StartTag(name, attrs, selfClosing, pos, endPos); ()
       }
-    }
+      def endTag(name: String, pos: Int, endPos: Int): Unit = { buf += EndTag(name, pos, endPos); () }
+      def text(src: String, start: Int, end: Int, pos: Int): Unit = { buf += TextTok(src, start, end, pos); () }
+    })
+    buf.result().iterator
+  }
 
-    private def parseStartTag(start: Int): StartTag = {
+  /** Single forward scan driving `sink` — same scanner, same emission
+    * order and positions as the Iterator form (which is implemented on
+    * top of this), with zero per-token allocation.
+    */
+  def tokenizeInto(html: String, sink: TokSink): Unit = {
+    var i = 0
+    var pendingRawEnd: String = null // inside <script>/<style>: skip to this end tag
+
+    def parseStartTag(start: Int): Unit = {
       var j = start + 1
       val nameStart = j
       while (j < html.length && isNameChar(html.charAt(j))) j += 1
-      if (j == nameStart) { // '<' followed by junk: treat as text '<'
-        // emit as literal text of one char
-        return StartTag("", Nil, selfClosing = true, start, start + 1)
+      if (j == nameStart) { // '<' followed by junk: empty self-closing tag
+        sink.startTag("", Nil, selfClosing = true, start, start + 1)
+        i = start + 1
+        return
       }
       val name = internedName(html, nameStart, j)
       // built reversed via ::, reversed once at the end — no builder
@@ -313,34 +291,82 @@ object HtmlTokenizer {
             if (aName != null) attrs = (aName, decodeEntities(aVal)) :: attrs
         }
       }
-      StartTag(name, attrs.reverse, selfClosing, start, j)
+      sink.startTag(name, attrs.reverse, selfClosing, start, j)
+      i = j
+      if (!selfClosing && RawTextTags.contains(name)) pendingRawEnd = "</" + name
     }
 
-    /** The interned attribute name iff html[start, end) ASCII-case-
-      * insensitively matches one the extractor consumes; null otherwise
-      * (allocation-free either way).
-      */
-    private def retainedAttr(html: String, start: Int, end: Int): String = {
-      val len = end - start
-      var k = 0
-      while (k < RetainedAttrs.length) {
-        val t = RetainedAttrs(k)
-        if (t.length == len) {
-          var j = 0
-          var ok = true
-          while (ok && j < len) {
-            val c = html.charAt(start + j)
-            if (c >= 0x80 || lowerAscii(c) != t.charAt(j)) ok = false
-            j += 1
-          }
-          if (ok) return t
+    while (i < html.length) {
+      if (pendingRawEnd != null) {
+        val close = indexOfIgnoreCase(html, pendingRawEnd, i)
+        val endName = pendingRawEnd.substring(2)
+        if (close < 0) { i = html.length; pendingRawEnd = null }
+        else {
+          val gt = html.indexOf('>', close)
+          i = if (gt < 0) html.length else gt + 1
+          sink.endTag(endName, close, i)
+          pendingRawEnd = null
         }
-        k += 1
+      } else {
+        val lt = html.indexOf('<', i)
+        if (lt < 0) {
+          if (i < html.length) sink.text(html, i, html.length, i)
+          i = html.length
+        } else if (lt > i) {
+          sink.text(html, i, lt, i)
+          i = lt
+        } else {
+          // at a '<'
+          if (html.startsWith("<!--", i)) {
+            val close = html.indexOf("-->", i + 4)
+            i = if (close < 0) html.length else close + 3
+          } else if (html.startsWith("<![CDATA[", i)) {
+            val close = html.indexOf("]]>", i + 9)
+            i = if (close < 0) html.length else close + 3
+          } else if (i + 1 < html.length && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+            val gt = html.indexOf('>', i)
+            i = if (gt < 0) html.length else gt + 1
+          } else if (i + 1 < html.length && html.charAt(i + 1) == '/') {
+            val gt = html.indexOf('>', i)
+            if (gt < 0) { i = html.length }
+            else {
+              var ns = i + 2
+              var ne = gt
+              while (ns < ne && html.charAt(ns) <= ' ') ns += 1 // String.trim semantics
+              while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
+              sink.endTag(internedName(html, ns, ne), i, gt + 1)
+              i = gt + 1
+            }
+          } else parseStartTag(lt)
+        }
       }
-      null
     }
-
-    @inline private def isNameChar(c: Char): Boolean =
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
   }
+
+  /** The interned attribute name iff html[start, end) ASCII-case-
+    * insensitively matches one the extractor consumes; null otherwise
+    * (allocation-free either way).
+    */
+  private def retainedAttr(html: String, start: Int, end: Int): String = {
+    val len = end - start
+    var k = 0
+    while (k < RetainedAttrs.length) {
+      val t = RetainedAttrs(k)
+      if (t.length == len) {
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          val c = html.charAt(start + j)
+          if (c >= 0x80 || lowerAscii(c) != t.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) return t
+      }
+      k += 1
+    }
+    null
+  }
+
+  @inline private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 }
