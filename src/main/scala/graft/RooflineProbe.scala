@@ -80,9 +80,22 @@ object RooflineProbe {
       }
       val pre = docs.map { case (id, text, lang) =>
         graft.pages.SyntheticPages.renderPage(id, text, lang).getBytes(UTF_8) }
+      def decode(i: Int) = new String(pre(i), UTF_8).length.toLong
+      val noop = new graft.html.HtmlTokenizer.TokSink {
+        def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit = ()
+        def endTag(name: String, pos: Int, endPos: Int): Unit = ()
+        def text(src: String, start: Int, end: Int, pos: Int): Unit = ()
+      }
+      def decodeTok(i: Int) = {
+        val s = new String(pre(i), UTF_8)
+        graft.html.HtmlTokenizer.tokenizeInto(s, noop)
+        s.length.toLong
+      }
       def exOnly(i: Int) = graft.html.HtmlExtractor.extractBytes(pre(i)).tables.size.toLong
       stage("render", render)(render)
       stage("render+encode", renderEnc)(renderEnc)
+      stage("utf8-decode", decode)(decode)
+      stage("decode+tokenize", decodeTok)(decodeTok)
       stage("extractBytes", exOnly)(exOnly)
       stage("extractPage", pageUnit)(pageUnit)
       return
