@@ -37,6 +37,34 @@ object Text {
     }
   }
 
+  /** [[collapseWhitespace]] straight off a builder — byte-identical to
+    * `collapseWhitespace(sb.toString)` (same pyIsSpace strip bounds, same
+    * run collapse) without materializing the raw string first; the
+    * extraction hot path accumulates block/cell text in builders and this
+    * saves one full-text copy per flush.
+    */
+  def collapseWhitespaceOf(sb: java.lang.StringBuilder): String = {
+    var a = 0
+    var b = sb.length
+    while (a < b && pyIsSpace(sb.charAt(a))) a += 1
+    while (b > a && pyIsSpace(sb.charAt(b - 1))) b -= 1
+    val out = new java.lang.StringBuilder(b - a)
+    var i = a
+    var inWs = false
+    while (i < b) {
+      val c = sb.charAt(i)
+      if (pyIsSpace(c)) {
+        if (!inWs) out.append(' ')
+        inWs = true
+      } else {
+        out.append(c)
+        inWs = false
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   /** Python str.strip() (no args): strip pyIsSpace chars from both ends. */
   def pyStrip(s: String): String = {
     var i = 0

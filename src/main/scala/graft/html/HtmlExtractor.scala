@@ -216,7 +216,7 @@ object HtmlExtractor {
         fillPending()
         row.foreach { cell =>
           fillPending()
-          val txt = cellText(cell.text.toString)
+          val txt = collapsedText(cell.text)
           var k = 0
           while (k < math.max(cell.colspan, 1)) {
             out += ((txt, cell.isTh))
@@ -262,6 +262,23 @@ object HtmlExtractor {
   private def cellText(raw: String): String =
     Text.collapseWhitespace(nfkc(raw))
 
+  /** `collapseWhitespace(nfkc(sb.toString))` without materializing the
+    * raw string when the builder is pure ASCII (every ASCII char is an
+    * NFKC fixed point, so the collapse runs straight off the builder —
+    * byte-identical: Text.collapseWhitespaceOf shares the pyIsSpace
+    * bounds + run-collapse of the string path). Block and cell text are
+    * overwhelmingly ASCII in web text; the non-ASCII minority falls back
+    * to the string pipeline.
+    */
+  private def collapsedText(sb: java.lang.StringBuilder): String = {
+    var i = 0
+    while (i < sb.length) {
+      if (sb.charAt(i) >= 0x80) return Text.collapseWhitespace(nfkc(sb.toString))
+      i += 1
+    }
+    Text.collapseWhitespaceOf(sb)
+  }
+
   private def scanDocument(html: String): DocScan = {
     var pageNum = 1
     val blockBuilders = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Blk]]
@@ -286,7 +303,7 @@ object HtmlExtractor {
     var blockHeading = false
 
     def flushBlock(): Unit = {
-      val txt = Text.collapseWhitespace(nfkc(blockText.toString))
+      val txt = collapsedText(blockText)
       if (txt.nonEmpty) {
         blocksOf(pageNum) += Blk(txt, blockLinkChars, blockHeading, boilerDepth > 0)
       }
