@@ -1224,7 +1224,7 @@ object Queries {
         |       ELSE 'zh' END AS predicted_lang
         |FROM h""".stripMargin,
     "q_token_count" ->
-      """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id, length(regexp_split_to_array(trim(text), '[ \t-\r]+')) AS n_tokens
         |FROM documents""".stripMargin,
     // identical GPT-2-ish pattern (RE2-safe subset; '' = escaped quote)
     "q_token_count_bpe" ->
@@ -1234,19 +1234,19 @@ object Queries {
         |      || ', cost $' || CAST(doc_id % 97 AS VARCHAR) || '.50!' AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  length(regexp_split_to_array(trim(t), '\s+')) AS n_tokens_ws,
+        |  length(regexp_split_to_array(trim(t), '[ \t-\r]+')) AS n_tokens_ws,
         |  length(regexp_extract_all(t,
         |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t-\r]+|[ \t-\r]+'))
         |    AS n_tokens_bpe
         |FROM p""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
-        |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(regexp_split_to_array(trim(text), '[ \t-\r]+')) AS n_tokens,
         |  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-        |  (length(regexp_split_to_array(trim(text), '\s+')) >= 5
-        |   AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
-        |   AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |  (length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
+        |   AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
+        |   AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
         |   AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)
         |  ) AS quality_ok
         |FROM documents""".stripMargin,
@@ -1349,12 +1349,12 @@ object Queries {
         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
         |q AS (
         |  SELECT doc_id,
-        |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(regexp_split_to_array(trim(text), '[ \t-\r]+')) AS n_tokens,
         |    length(text) AS n_chars
         |  FROM corpus
-        |  WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 5
-        |    AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
-        |    AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |  WHERE length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
+        |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
+        |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
         |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
         |tok AS (
         |  SELECT doc_id,
@@ -1414,12 +1414,12 @@ object Queries {
         |corpus AS (SELECT doc_id, text FROM rk WHERE rk <= 40),
         |q AS (
         |  SELECT doc_id,
-        |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(regexp_split_to_array(trim(text), '[ \t-\r]+')) AS n_tokens,
         |    length(text) AS n_chars
         |  FROM corpus
-        |  WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 5
-        |    AND length(text) >= length(regexp_split_to_array(trim(text), '\s+')) * 3
-        |    AND length(text) <= length(regexp_split_to_array(trim(text), '\s+')) * 13
+        |  WHERE length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
+        |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
+        |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
         |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
         |tok AS (
         |  SELECT doc_id,
@@ -1516,6 +1516,9 @@ object Queries {
         |  CASE WHEN a.n_bigrams IS NULL THEN 0
         |       ELSE 1000 * a.top_bigram_count // a.n_bigrams END AS top_bigram_x1000
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    // rank on the QUANTIZED cosine (floor(cos*2^20+0.5), id tie-break) —
+    // mirrors Similarity.quantizedCosine; raw-double ORDER BY would break
+    // ties on sub-ulp cross-engine normalization differences
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1524,7 +1527,9 @@ object Queries {
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY CAST(floor(score * 1048576 + 0.5) AS BIGINT) DESC,
+        |               neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
     // full IVF recompute: same poly-hash centroid order, same QUANTIZED
     // argmax-cosine cell assignment (floor(cos*2^20 + 0.5), cid tie-break
@@ -1561,7 +1566,9 @@ object Queries {
         |  WHERE pr.query_id <> a.vec_id)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY CAST(floor(score * 1048576 + 0.5) AS BIGINT) DESC,
+        |               neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
     // cell assignment ranks on the QUANTIZED cosine (floor(cos·2^20+0.5),
     // same fixed-point family as the sums) + cid tie-break, mirroring

@@ -215,10 +215,11 @@ object HtmlTokenizer {
     }
   }
 
-  /** Tokenize a decoded HTML string. Emits TextTok with entities decoded. */
   /** Tokenize a decoded HTML string into a buffered token sequence — the
     * convenience/test surface over [[tokenizeInto]]. The extraction hot
     * path drives a [[TokSink]] directly and allocates no Tok objects.
+    * TextTok carries an UNDECODED range (entities decode lazily via
+    * `text`/`appendTo`).
     */
   def tokenize(html: String): Iterator[Tok] = {
     val buf = Vector.newBuilder[Tok]

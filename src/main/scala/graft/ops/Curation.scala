@@ -35,10 +35,12 @@ object Curation {
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
-        // SQL length() = codepoints; SQL split-on-\s+ of a trimmed string
+        // SQL length() = codepoints; token split uses the explicit
+        // [ \t-\r] class (== Java \s exactly) so the RE2 oracle can
+        // mirror it byte-for-byte — RE2's \s excludes U+000B
         val nChars = text.codePointCount(0, text.length).toLong
         val trimmed = TextAnalysis.sqlTrim(text)
-        val nTokens = trimmed.split("\\s+").length.toLong
+        val nTokens = trimmed.split("[ \\t-\\r]+").length.toLong
         var punct = 0L
         var i = 0
         while (i < text.length) {

@@ -32,6 +32,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine quantized to the repo's fixed-point grid
+    * (floor(cos·2^20 + 0.5)) — the RANKING form of [[cosine]]: every
+    * cross-engine comparison of cosine scores (cell assignment, top-k
+    * rank) compares these integers with an id tie-break, so a sub-ulp
+    * normalization difference between engines (sqrt(na)·sqrt(nb) vs
+    * sqrt(na·nb)) can flip an order only when the true score sits within
+    * ~2^-52 of a 2^-20 bin edge, and every genuine quantized tie breaks
+    * identically in both engines.
+    */
+  def quantizedCosine(a: Column, b: Column): Column =
+    floor(cosine(a, b) * lit(FixedPointScale.toDouble) + lit(0.5)).cast("double")
+
   /** Plain-Scala float64 cosine for the typed IVF passes. */
   def cosineF(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -93,7 +105,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", quantizedCosine(col("q_emb"), col("c_emb")))
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     topK(scored, k)
@@ -161,8 +173,14 @@ object Similarity {
         .sortBy { case (cid, s) => (-s, cid) }
         .take(n).map(_._1)
 
+    // assignment is the hottest pass (once per corpus vector): the O(k)
+    // linear scan (nearestCellIdx — identical quantized comparison and
+    // cid tie-break) instead of nearestCells' per-row map + full sort
     val assigned = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, emb) => (nearestCells(emb, 1)(0), id, emb) })
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb) => (cs(nearestCellIdx(cs, emb))._1, id, emb) }
+      }
       .toDF("cell_id", "neighbor_id", "c_emb")
     val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, emb) =>
@@ -171,7 +189,7 @@ object Similarity {
       .toDF("cell_id", "query_id", "q_emb")
     val scored = assigned.join(broadcast(probes), "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", quantizedCosine(col("q_emb"), col("c_emb")))
       .select(col("query_id"), col("neighbor_id"), col("score"))
       .as[(Long, Long, Double)]
     topK(scored, k)

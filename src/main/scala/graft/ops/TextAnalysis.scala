@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (matches the DuckDB
-    * oracle `length(regexp_split_to_array(trim(text),'\s+'))`).
+  /** Whitespace token count. The split class is the EXPLICIT `[ \t-\r]`
+    * (≡ Java's `\s` exactly) rather than `\s` itself: RE2's `\s` excludes
+    * U+000B, so a bare `\s` in the mirrored DuckDB oracle would diverge
+    * on text containing a vertical tab (same cross-engine trap as
+    * [[BpePattern]]).
     */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def tokenCount(text: Column): Column = size(split(trim(text), "[ \\t-\\r]+"))
 
   /** GPT-2-style pre-tokenizer pattern, restricted to the regex subset
     * Java regex and RE2 implement identically: common contraction
@@ -293,7 +296,17 @@ object TextAnalysis {
   private[ops] def dupBigramX1000(n: Long, distinct: Long): Long =
     if (n == 0) 0L else 1000L * (n - distinct) / n
 
-  /** Lowercased whitespace tokens of the SQL-trimmed text. */
+  /** Lowercased whitespace tokens of the SQL-trimmed text.
+    *
+    * NOTE the shingle/fingerprint/vocab family deliberately keeps Java
+    * `\s` here (mirrored as RE2 `\s` in its oracles): the two differ
+    * only on U+000B, which the oracle corpus cannot contain (the
+    * generator emits words + single spaces), and re-basing the dedup
+    * tokenization would reshard every persisted signature. The
+    * token-count/quality/curation family, whose outputs are per-doc
+    * COUNTS a user reads directly, uses the explicit [ \t-\r] class on
+    * both sides instead ([[tokenCount]], Curation.curate).
+    */
   private[ops] def lowerTokens(text: String): Array[String] =
     sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 

@@ -187,9 +187,10 @@ class OpsSpec extends AnyFunSuite {
     // ONE whitespace word but 7 pre-tokens: <|td|>|42|</|td|>
     assert(counts("<td>42</td>") == ((1, 7)))
     // U+000B vertical tab is WHITESPACE under the explicit [ \t-\r] class
-    // (a|VT|. = 3), not a punctuation run (which would give a|VT. = 2 on
-    // RE2 whose \s excludes VT — the cross-engine trap the class avoids)
-    assert(counts("a\u000B.")._2 == 3)
+    // in BOTH counters (ws: a|. = 2 words; bpe: a|VT|. = 3 pre-tokens) —
+    // RE2's \s excludes VT, which is why the mirrored oracles use the
+    // explicit class rather than \s (the cross-engine trap it avoids)
+    assert(counts("a\u000B.") == ((2, 3)))
   }
 
   test("PII redaction: placeholders, ordering, and non-PII text untouched") {
