@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Text
@@ -59,6 +59,30 @@ case class Transliterate(child: Expression) extends GraftStringExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** Polynomial codepoint hash (seed 7, mult 31, mod 2^31-1 — the engine's
+  * cross-engine hash family; DuckDB recomputes it via list_reduce over
+  * unicode codepoints) as a NATIVE codegen expression. The Column-API
+  * construction (sequence → transform(ascii) → aggregate) evaluates HOF
+  * lambdas per element and materializes an index array per ROW — and
+  * deterministic sampling applies this hash to EVERY row of the corpus,
+  * so the direct static call matters at 100 TB. Also handles astral
+  * codepoints correctly (codePointAt, matching the oracle's unicode(c))
+  * where the per-char ascii() chain would hash surrogate halves.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftFunctions.polyHash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftFunctions.polyHash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
 /** `spark.sql.extensions`-style injector (SURVEY.md §7.3 ladder: whole-
   * session registration without touching application code):
   *
@@ -89,12 +113,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_transliterate"),
       info("graft_transliterate", "_FUNC_(str) - unidecode-subset transliteration"),
       (es: Seq[Expression]) => Transliterate(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "_FUNC_(str) - polynomial codepoint hash (seed 7, mod 2^31-1)"),
+      (es: Seq[Expression]) => PolyHash(es.head)))
   }
 }
 
 /** Static call targets for generated code (stable Java-visible names). */
 object GraftFunctions {
   def normalizeStr(s: String): String = Text.normalizeStr(s)
+  def polyHash(s: String): Long = graft.ops.TextAnalysis.polyHash(s)
   def normalizeColumnName(s: String): String = Text.normalizeColumnName(s)
   def normalizeColumnValue(s: String): String = Text.normalizeColumnValue(s)
   def transliterate(s: String): String = Text.transliterate(s)
@@ -105,6 +133,7 @@ object GraftFunctions {
   def normalize_column_name(c: Column): Column = column(NormalizeColumnName(expression(c)))
   def normalize_column_value(c: Column): Column = column(NormalizeColumnValue(expression(c)))
   def transliterate_col(c: Column): Column = column(Transliterate(expression(c)))
+  def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
 
   /** Register all engine functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
@@ -113,5 +142,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_normalize_column_name", es => NormalizeColumnName(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_normalize_column_value", es => NormalizeColumnValue(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_transliterate", es => Transliterate(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_poly_hash", es => PolyHash(es.head), "scala_udf")
   }
 }

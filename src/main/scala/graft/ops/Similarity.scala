@@ -114,13 +114,14 @@ object Similarity {
   /** Polynomial codepoint hash of a string column — the Catalyst twin of
     * TextAnalysis.polyHash (acc = (acc*31 + cp) % (2^31-1), seed 7), chosen
     * because an independent engine recomputes it exactly (DuckDB:
-    * list_reduce over unicode codepoints). ASCII-safe (`ascii` reads one
-    * char); used here on decimal id strings.
+    * list_reduce over unicode codepoints). Backed by the NATIVE codegen
+    * expression (functions.PolyHash — a direct static call inside
+    * whole-stage codegen); the former sequence→transform→aggregate HOF
+    * chain materialized an index array per row and evaluated lambdas per
+    * element, on a hash that deterministic sampling applies to every
+    * corpus row.
     */
-  def polyHashCol(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("bigint")),
-      lit(7L), (acc, c) => (acc * 31 + c) % 2147483647L)
+  def polyHashCol(s: Column): Column = graft.functions.GraftFunctions.poly_hash(s)
 
   /** Deterministic, corpus-size-INDEPENDENT centroid pick: the
     * `numCentroids` corpus vectors with the smallest

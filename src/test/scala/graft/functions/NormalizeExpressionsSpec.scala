@@ -31,6 +31,25 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("poly_hash native expression matches the Scala hash (incl. unicode + astral)") {
+    import spark.implicits._
+    val vals = Seq("0", "12345", ":split", "a b c", "Straße", "née😀x", "")
+    val out = vals.toDF("s").repartition(2)
+      .select(col("s"), GraftFunctions.poly_hash(col("s")).as("h")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == graft.ops.TextAnalysis.polyHash(r.getString(0)),
+        s"mismatch for '${r.getString(0)}'")
+    }
+    // the Column-API twin delegates to the same expression
+    val viaCol = vals.toDF("s")
+      .select(graft.ops.Similarity.polyHashCol(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(viaCol == vals.map(graft.ops.TextAnalysis.polyHash))
+    // SQL surface
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT graft_poly_hash('12345') AS h").collect().head.getLong(0)
+      == graft.ops.TextAnalysis.polyHash("12345"))
+  }
+
   test("null propagates (null-intolerant unary)") {
     import spark.implicits._
     val df = Seq(Some("x"), None).toDF("s")
@@ -83,5 +102,14 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
     // column pruning reached the parquet scan
     assert(plan.contains("ReadSchema: struct<text:string>"), plan)
     df.count() // and it executes through the codegen path
+
+    // same for the poly hash — the sampling hot path must show a direct
+    // codegen'd call, not the former per-row HOF aggregate chain
+    val ph = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.poly_hash(col("doc_id").cast("string")).as("h"))
+    val phPlan = ph.queryExecution.executedPlan.toString
+    assert(phPlan.contains("*(1) Project [graft_poly_hash"), phPlan)
+    assert(!phPlan.contains("aggregate("), phPlan)
+    ph.count()
   }
 }
