@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,8 +13,13 @@ import graft.core.Text
   * a direct static call, keeping the surrounding WholeStageCodegen span
   * intact, no UDF closure serialization), registered for SQL use.
   */
-abstract class GraftStringExpression extends UnaryExpression {
+abstract class GraftStringExpression extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  // analysis-time type check + implicit cast (a non-string argument would
+  // otherwise fail at codegen/eval time with a confusing ClassCastException);
+  // the type lives behind shim.InputType — AbstractDataType is private[sql]
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shim.InputType] =
+    org.apache.spark.sql.graft.shim.stringInput
   protected def fnName: String // fully-qualified static-call target
 
   protected def applyFn(s: String): String
@@ -69,16 +74,20 @@ case class Transliterate(child: Expression) extends GraftStringExpression {
   * codepoints correctly (codePointAt, matching the oracle's unicode(c))
   * where the per-char ascii() chain would hash surrogate halves.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
+  // implicit cast: graft_poly_hash(doc_id) on a BIGINT column casts to
+  // string at analysis time (the engine itself always hashes id STRINGS)
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shim.InputType] =
+    org.apache.spark.sql.graft.shim.stringInput
 
   override def nullSafeEval(input: Any): Any =
-    GraftFunctions.polyHash(input.asInstanceOf[UTF8String].toString)
+    GraftFunctions.polyHash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GraftFunctions.polyHash($c.toString())")
+      s"graft.functions.GraftFunctions.polyHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
@@ -99,22 +108,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftStringExpression].getName, null, name, usage, "")
+    def info(clazz: Class[_], name: String, usage: String) =
+      new ExpressionInfo(clazz.getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_normalize_str"),
-      info("graft_normalize_str", "_FUNC_(str) - reference normalize_str"),
+      info(classOf[NormalizeStr], "graft_normalize_str", "_FUNC_(str) - reference normalize_str"),
       (es: Seq[Expression]) => NormalizeStr(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_normalize_column_name"),
-      info("graft_normalize_column_name", "_FUNC_(str) - reference normalize_column_name"),
+      info(classOf[NormalizeColumnName], "graft_normalize_column_name", "_FUNC_(str) - reference normalize_column_name"),
       (es: Seq[Expression]) => NormalizeColumnName(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_normalize_column_value"),
-      info("graft_normalize_column_value", "_FUNC_(str) - reference normalize_column_value"),
+      info(classOf[NormalizeColumnValue], "graft_normalize_column_value", "_FUNC_(str) - reference normalize_column_value"),
       (es: Seq[Expression]) => NormalizeColumnValue(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_transliterate"),
-      info("graft_transliterate", "_FUNC_(str) - unidecode-subset transliteration"),
+      info(classOf[Transliterate], "graft_transliterate", "_FUNC_(str) - unidecode-subset transliteration"),
       (es: Seq[Expression]) => Transliterate(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_poly_hash"),
-      info("graft_poly_hash", "_FUNC_(str) - polynomial codepoint hash (seed 7, mod 2^31-1)"),
+      info(classOf[PolyHash], "graft_poly_hash", "_FUNC_(str) - polynomial codepoint hash (seed 7, mod 2^31-1)"),
       (es: Seq[Expression]) => PolyHash(es.head)))
   }
 }
@@ -123,6 +132,24 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftFunctions {
   def normalizeStr(s: String): String = Text.normalizeStr(s)
   def polyHash(s: String): Long = graft.ops.TextAnalysis.polyHash(s)
+
+  /** Allocation-free form over the raw UTF8String: pure-ASCII inputs (the
+    * engine's decimal id strings — every byte IS its codepoint) hash
+    * straight off the bytes; anything else falls back to the String
+    * decode + codePointAt walk. Identical output either way.
+    */
+  def polyHash(u: UTF8String): Long = {
+    val n = u.numBytes()
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i)
+      if (b < 0) return graft.ops.TextAnalysis.polyHash(u.toString)
+      acc = (acc * 31 + b) % 2147483647L
+      i += 1
+    }
+    acc
+  }
   def normalizeColumnName(s: String): String = Text.normalizeColumnName(s)
   def normalizeColumnValue(s: String): String = Text.normalizeColumnValue(s)
   def transliterate(s: String): String = Text.transliterate(s)

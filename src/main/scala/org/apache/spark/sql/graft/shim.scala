@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4 (sql-api split), so
+    * an external package can't even NAME the type that
+    * `ExpectsInputTypes.inputTypes` returns. This public alias (legal to
+    * export from the sql namespace; dealiases to the private type at use
+    * sites) lets the engine's expressions declare analysis-time input
+    * types instead of failing at codegen/eval with a ClassCastException.
+    */
+  type InputType = org.apache.spark.sql.types.AbstractDataType
+  val stringInput: Seq[InputType] = Seq(org.apache.spark.sql.types.StringType)
 }

@@ -48,6 +48,10 @@ class NormalizeExpressionsSpec extends AnyFunSuite {
     GraftFunctions.registerAll(spark)
     assert(spark.sql("SELECT graft_poly_hash('12345') AS h").collect().head.getLong(0)
       == graft.ops.TextAnalysis.polyHash("12345"))
+    // ExpectsInputTypes: a BIGINT argument implicit-casts to string at
+    // analysis time (previously a codegen/eval-time ClassCastException)
+    assert(spark.sql("SELECT graft_poly_hash(12345) AS h").collect().head.getLong(0)
+      == graft.ops.TextAnalysis.polyHash("12345"))
   }
 
   test("null propagates (null-intolerant unary)") {
