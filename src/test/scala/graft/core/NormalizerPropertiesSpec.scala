@@ -105,6 +105,26 @@ class NormalizerPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("collapseWhitespaceOf(builder) == collapseWhitespace(string) for all inputs") {
+    // the fused extraction path must be byte-identical to the string
+    // pipeline on EVERY input, not just the ASCII fast path that uses it
+    check(Prop.forAll(weirdString) { s =>
+      val sb = new java.lang.StringBuilder(s)
+      Text.collapseWhitespaceOf(sb) == Text.collapseWhitespace(s)
+    })
+  }
+
+  test("polyHash(UTF8String) == polyHash(String) for all inputs (incl. astral)") {
+    val astral: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> weirdChar.map(_.toString),
+      1 -> Gen.oneOf("😀", "𝔸", "🜁"))).map(_.mkString)
+    check(Prop.forAll(astral) { s =>
+      graft.functions.GraftFunctions.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) ==
+        graft.ops.TextAnalysis.polyHash(s)
+    })
+  }
+
   test("csvField: quoting is lossless under minimal-quoting rules") {
     check(Prop.forAll(weirdString) { s =>
       val f = graft.sinks.CsvExport.csvField(s)
