@@ -91,6 +91,13 @@ object ExtractJob {
     * url→mapping sidecar table drives which pages/columns are read. The
     * mapping map is broadcast (classic broadcast hash join of a dimension
     * into a narrow map stage — the 100 TB page table never shuffles).
+    *
+    * TEST/DEMO ONLY at scale: this variant ships a DRIVER-BUILT
+    * `Map[String, TablesMapping]`, so building the argument is O(sidecar)
+    * on the driver. For corpus-scale sidecars use [[extractMappedJoin]],
+    * which broadcast-joins the sidecar as a DataFrame with no driver-side
+    * collect anywhere — it is what the registered `extract_mapped` query
+    * and the bench run.
     */
   def extractMapped(
       spark: SparkSession,
@@ -147,21 +154,51 @@ object ExtractJob {
     }
   }
 
-  /** Full job with output + lineage + resume. Returns run stats. */
+  /** Full job with output + lineage + resume. Returns run stats.
+    *
+    * Resume cost is O(pending work), never O(corpus):
+    *  - the pages table is filtered by a BROADCAST ANTI-JOIN against the
+    *    lineage table (one tiny row per completed bucket) — no literal
+    *    `isin` list baked into the plan, no driver round-trip on the
+    *    filter path;
+    *  - this run's lineage rows are aggregated from ONLY the partition
+    *    directories written this run (an O(pending) listing + scan —
+    *    completed buckets' parquet files are never opened, which
+    *    `ExtractJobSpec`'s corruption gate proves);
+    *  - the lineage table itself is partitioned by bucket and written with
+    *    dynamic partition overwrite, so completed buckets' lineage rows are
+    *    carried over untouched instead of being recomputed and rewritten.
+    *
+    * The only driver-side state is the completed-bucket id set — O(buckets)
+    * ints, bounded by `cfg.buckets` regardless of corpus size — used solely
+    * to pick this run's partition dirs for the lineage scan.
+    */
   def run(spark: SparkSession, pagesDs: Dataset[Page], outDir: String, cfg: Config = Config()): RunStats = {
     import spark.implicits._
     val lineagePath = s"$outDir/_lineage"
     val outputPath = s"$outDir/extracted"
 
-    val completed: Set[Int] =
+    val lineageOld: Option[DataFrame] =
       if (cfg.resume && pathExists(spark, lineagePath))
-        spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
-      else Set.empty
+        Some(spark.read.parquet(lineagePath))
+      else None
+    val completed: Set[Int] = lineageOld match {
+      case Some(df) => df.select(col("bucket").cast("int")).as[Int].collect().toSet
+      case None => Set.empty
+    }
 
     val withBucket = pagesDs.withColumn("bucket", bucketOf(col("url"), cfg.buckets))
-    val pending =
-      if (completed.isEmpty) withBucket
-      else withBucket.filter(!col("bucket").isin(completed.toSeq: _*))
+    val pending = lineageOld match {
+      case Some(df) if completed.nonEmpty =>
+        withBucket
+          .join(broadcast(df.select(col("bucket").cast("int").as("bucket"))),
+            Seq("bucket"), "left_anti")
+          // pin the column order the typed mapPartitions below depends on
+          // (a using-column join may move the key column)
+          .select(col("url"), col("warc_ts"), col("html"), col("text"),
+            col("lang"), col("bucket"))
+      case _ => withBucket
+    }
 
     val processedAcc = spark.sparkContext.longAccumulator("graft.pagesProcessed")
 
@@ -179,29 +216,64 @@ object ExtractJob {
       .repartition(cfg.buckets, col("bucket"))
 
     // dynamic partition overwrite: only the buckets present in this run are
-    // replaced; completed buckets' files are untouched
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    extracted.write
-      .mode("overwrite")
-      .partitionBy("bucket")
-      .parquet(outputPath)
+    // replaced; completed buckets' files are untouched. The session conf is
+    // scoped: saved and restored even if the write fails.
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      extracted.write
+        .mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(outputPath)
 
-    // lineage from the committed output (cheap scan: no html column there)
-    val lineage = spark.read.parquet(outputPath)
-      .groupBy(col("bucket"))
-      .agg(
-        countDistinct(col("url")).as("urls"),
-        count(lit(1)).as("rows_out"),
-        sum(col("n_tables")).cast("long").as("tables_out"),
-        sum(col("html_bytes")).as("html_bytes"),
-        min(col("url")).as("url_min"),
-        max(col("url")).as("url_max"))
-      .withColumn("extractor_version", lit(ExtractorVersion))
-      .as[LineageRow]
-
-    lineage.write.mode("overwrite").parquet(lineagePath)
+      // Lineage for THIS RUN only, read back from the committed output so
+      // the lineage reflects exactly what a reader will see (commit point).
+      // Only the pending buckets' partition dirs are listed and scanned.
+      val runDirs = bucketPartitionDirs(spark, outputPath)
+        .filterNot { case (b, _) => completed(b) }
+      if (runDirs.nonEmpty) {
+        val newLineage = spark.read
+          .option("basePath", outputPath)
+          .parquet(runDirs.map(_._2): _*)
+          .groupBy(col("bucket"))
+          .agg(
+            countDistinct(col("url")).as("urls"),
+            count(lit(1)).as("rows_out"),
+            sum(col("n_tables")).cast("long").as("tables_out"),
+            sum(col("html_bytes")).as("html_bytes"),
+            min(col("url")).as("url_min"),
+            max(col("url")).as("url_max"))
+          .withColumn("extractor_version", lit(ExtractorVersion))
+          .select(col("urls"), col("rows_out"), col("tables_out"),
+            col("html_bytes"), col("url_min"), col("url_max"),
+            col("extractor_version"), col("bucket"))
+        newLineage.write
+          .mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(lineagePath)
+      }
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set(modeKey, m)
+        case None => spark.conf.unset(modeKey)
+      }
+    }
 
     RunStats(processedAcc.value, completed.size, cfg.buckets)
+  }
+
+  /** List `bucket=N` partition directories under `path` — an O(buckets)
+    * filesystem listing, independent of data volume.
+    */
+  private def bucketPartitionDirs(spark: SparkSession, path: String): Seq[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("bucket=") =>
+        (st.getPath.getName.stripPrefix("bucket=").toInt, st.getPath.toString)
+    }
   }
 
   def readOutput(spark: SparkSession, outDir: String): DataFrame =

@@ -69,13 +69,11 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(lineage.count() == 8)
     assert(lineage.select("extractor_version").distinct().collect().head.getString(0) == ExtractJob.ExtractorVersion)
 
-    // simulate a kill after 6 of 8 buckets committed: drop 2 lineage rows +
-    // their output partitions
-    val keep = lineage.filter(col("bucket") < 6)
-    keep.write.mode("overwrite").parquet(s"$dir/_lineage_tmp")
-    spark.read.parquet(s"$dir/_lineage_tmp").write.mode("overwrite").parquet(s"$dir/_lineage")
-    for (b <- 6 to 7) {
-      val p = new java.io.File(s"$dir/extracted/bucket=$b")
+    // simulate a kill after 6 of 8 buckets committed: drop 2 buckets'
+    // lineage partitions + their output partitions (the lineage table is
+    // partitioned by bucket, so a crash leaves exactly this shape)
+    for (b <- 6 to 7; root <- Seq("extracted", "_lineage")) {
+      val p = new java.io.File(s"$dir/$root/bucket=$b")
       if (p.exists()) { p.listFiles().foreach(_.delete()); p.delete() }
     }
 
@@ -94,6 +92,73 @@ class ExtractJobSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
     assert(resumedOut.length == fullOut.length)
     assert(resumedOut.sameElements(fullOut), "resumed output identical to uninterrupted run")
+  }
+
+  test("resume is O(pending): completed-bucket output and lineage are never read or rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-extract-opending").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    // drop buckets 6-7 (simulated kill), then CORRUPT every committed
+    // parquet data file in the completed buckets 0-5 — both output and
+    // lineage. If any resume code path opened them (the old implementation
+    // re-aggregated the ENTIRE output for lineage and rewrote the whole
+    // lineage table), the run would throw on the garbage footers.
+    for (b <- 6 to 7; root <- Seq("extracted", "_lineage")) {
+      val p = new java.io.File(s"$dir/$root/bucket=$b")
+      if (p.exists()) { p.listFiles().foreach(_.delete()); p.delete() }
+    }
+    val garbage = "not a parquet file".getBytes("UTF-8")
+    var corrupted = 0
+    for (b <- 0 to 5; root <- Seq("extracted", "_lineage")) {
+      val p = new java.io.File(s"$dir/$root/bucket=$b")
+      assert(p.exists(), s"$root/bucket=$b missing after full run")
+      for (f <- p.listFiles() if f.getName.endsWith(".parquet")) {
+        java.nio.file.Files.write(f.toPath, garbage)
+        corrupted += 1
+      }
+    }
+    assert(corrupted >= 12, "corruption must cover all completed data files")
+
+    // ... except the lineage BUCKET IDS, which resume legitimately reads to
+    // know what is complete. Partition ids live in dir names, but the row
+    // payload comes from the files — so restore minimal valid lineage rows
+    // for 0-5 (fresh content, marker urls) to prove they are carried over
+    // verbatim, not recomputed from output.
+    val marker = (0 to 5).map(b =>
+      (0L, 0L, 0L, 0L, s"marker-$b", s"marker-$b", "carried-over", b))
+      .toDF("urls", "rows_out", "tables_out", "html_bytes", "url_min",
+        "url_max", "extractor_version", "bucket")
+    for (b <- 0 to 5) {
+      val p = new java.io.File(s"$dir/_lineage/bucket=$b")
+      p.listFiles().foreach(_.delete())
+      marker.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_lineage/bucket=$b")
+      // spark writes _SUCCESS inside the partition dir here; harmless
+    }
+
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 6)
+
+    // completed buckets' lineage rows survived untouched (carried over by
+    // dynamic partition overwrite, not recomputed); pending rows are fresh
+    val after = spark.read.parquet(s"$dir/_lineage")
+    val byBucket = after.collect().map(r =>
+      r.getAs[Int]("bucket") -> r.getAs[String]("extractor_version")).toMap
+    assert(byBucket.size == 8)
+    for (b <- 0 to 5) assert(byBucket(b) == "carried-over", s"lineage bucket $b was rewritten")
+    for (b <- 6 to 7) assert(byBucket(b) == ExtractJob.ExtractorVersion, s"lineage bucket $b not fresh")
+
+    // the pending buckets' output is genuinely re-extracted and readable
+    val pendingOut = spark.read
+      .option("basePath", s"$dir/extracted")
+      .parquet(s"$dir/extracted/bucket=6", s"$dir/extracted/bucket=7")
+    val expectedPending = pages.withColumn("bucket", ExtractJob.bucketOf(col("url"), 8))
+      .filter(col("bucket") >= 6).count()
+    assert(pendingOut.count() == expectedPending)
   }
 
   test("SparkEntry.entry smoke: rows > 0") {
