@@ -276,6 +276,23 @@ object Queries {
         perBatch.toDF("batch", "n_new_files", "n_records", "sum_doc_id")
       }),
 
+    // TTL streaming dedup, driver-visible (VERDICT r5 ask #4): the REAL
+    // flatMapGroupsWithState machine runs over 8 planted micro-batches; the
+    // accept/evict arithmetic is closed-form over doc_id (StreamReplay
+    // scaladoc has the derivation mirrored by the oracle's gap rule).
+    "q_stream_ttl_dedup" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_stream_ttl_dedup") {
+        graft.streaming.StreamReplay.ttlDedupReplay(s, dir)
+      }),
+
+    // Watermarked windowed aggregation, driver-visible: pageRateAgg's
+    // append-mode windows over a planted page stream; the oracle recomputes
+    // the per-window sums AND which windows the final watermark flushed.
+    "q_stream_rate_agg" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_stream_rate_agg") {
+        graft.streaming.StreamReplay.rateAggReplay(s, dir)
+      }),
+
     // ----- relational layer (oracle-checked)
     "q1_agg" -> ((s, dir) =>
       lineitem(s, dir)
@@ -1071,6 +1088,37 @@ object Queries {
         |  count(*) AS n_records,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM documents GROUP BY doc_id % 4""".stripMargin,
+    // Sliding-TTL dedup closed form (see StreamReplay.ttlDedupReplay): a
+    // present (key, batch) cell emits its min doc_id iff the key's previous
+    // present batch is >= 4 batches back (60 s spacing, 90 s TTL, delay 0).
+    "q_stream_ttl_dedup" ->
+      """WITH present AS (
+        |  SELECT doc_id % 10 AS content_key, (doc_id // 10) % 8 AS batch,
+        |         min(doc_id) AS doc_id
+        |  FROM documents
+        |  WHERE doc_id < 500
+        |    AND ((CASE WHEN doc_id % 10 = 0 THEN 255
+        |               ELSE ((doc_id % 10) * 37 + 11) % 256 END)
+        |         // ([1,2,4,8,16,32,64,128])[CAST((doc_id // 10) % 8 AS INTEGER) + 1]) % 2 = 1
+        |  GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT content_key, batch, doc_id,
+        |         lag(batch) OVER (PARTITION BY content_key ORDER BY batch) AS prev_b
+        |  FROM present)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(content_key AS BIGINT) AS content_key,
+        |       CAST(batch AS BIGINT) AS batch
+        |FROM seq WHERE prev_b IS NULL OR batch - prev_b >= 4""".stripMargin,
+    // Append-mode watermark gating (see StreamReplay.rateAggReplay): final
+    // watermark = T0 + 47.5 min flushes exactly the windows of steps 0..17.
+    "q_stream_rate_agg" ->
+      """SELECT CAST(1735689600000 + ((doc_id % 24) // 2) * 300000 AS BIGINT) AS window_start_ms,
+        |       'l' || CAST(doc_id % 5 AS VARCHAR) AS lang,
+        |       count(*) AS pages,
+        |       CAST(sum(length(text)) AS BIGINT) AS text_chars
+        |FROM documents
+        |WHERE doc_id < 500 AND doc_id % 24 < 18
+        |GROUP BY 1, 2""".stripMargin,
     "q_cosine_near_dup" ->
       """WITH planted AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

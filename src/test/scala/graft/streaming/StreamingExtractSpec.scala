@@ -117,4 +117,38 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(progress.stateOperators.nonEmpty)
     assert(progress.stateOperators.head.numRowsTotal > 0)
   }
+
+  test("TTL dedup replay matches the closed-form gap rule (driver oracle)") {
+    val df = graft.streaming.StreamReplay.ttlDedupReplay(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    // per-key presence patterns (StreamReplay scaladoc): accepted (key, batch)
+    // cells — incl. the TTL re-accept of key 5 at batch 6 and the gap-3
+    // boundary suppressions of keys 4 (batches 4→7) and 8 (batches 1→4)
+    val expected = Seq(
+      (0L, 0L), (1L, 4L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 2L), (5L, 6L),
+      (6L, 0L), (7L, 1L), (8L, 0L), (9L, 3L)).sorted
+    assert(got == expected)
+    val docIds = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(docIds == expected.map { case (k, b) => 10 * b + k }.sorted)
+  }
+
+  test("rate-agg replay: flushed windows match direct computation; tail windows withheld") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t0 = 1735689600000L
+    val df = graft.streaming.StreamReplay.rateAggReplay(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 500)
+      .as[(Long, String)].collect()
+    val expected = docs.filter(_._1 % 24 < 18)
+      .groupBy(d => ((d._1 % 24) / 2, d._1 % 5))
+      .map { case ((w, l), rows) =>
+        (t0 + w * 300000L, s"l$l", rows.length.toLong, rows.map(_._2.length.toLong).sum)
+      }.toSet
+    assert(got == expected)
+    // watermark gating: windows ending after T0 + 47.5 min never flushed
+    assert(df.collect().map(_.getLong(0)).max == t0 + 8 * 300000L)
+  }
 }
