@@ -48,21 +48,46 @@ object Text {
     var b = sb.length
     while (a < b && pyIsSpace(sb.charAt(a))) a += 1
     while (b > a && pyIsSpace(sb.charAt(b - 1))) b -= 1
-    val out = new java.lang.StringBuilder(b - a)
+    // compact IN PLACE (mutates `sb` — callers pass consumed-once scratch
+    // builders): the collapsed form is never longer than the input and the
+    // write cursor can't overtake the read cursor, so no intermediate
+    // builder is needed — one String allocation instead of two-plus-growth
+    var k = 0
     var i = a
     var inWs = false
     while (i < b) {
       val c = sb.charAt(i)
       if (pyIsSpace(c)) {
-        if (!inWs) out.append(' ')
+        if (!inWs) { sb.setCharAt(k, ' '); k += 1 }
         inWs = true
       } else {
-        out.append(c)
+        sb.setCharAt(k, c)
+        k += 1
         inWs = false
       }
       i += 1
     }
-    out.toString
+    sb.substring(0, k)
+  }
+
+  /** Length of [[collapseWhitespaceOf]]'s result without materializing it
+    * (does NOT mutate `sb`) — the link-density counter needs only the
+    * collapsed length, never the string.
+    */
+  def collapsedLengthOf(sb: java.lang.StringBuilder): Int = {
+    var a = 0
+    var b = sb.length
+    while (a < b && pyIsSpace(sb.charAt(a))) a += 1
+    while (b > a && pyIsSpace(sb.charAt(b - 1))) b -= 1
+    var n = 0
+    var i = a
+    var inWs = false
+    while (i < b) {
+      if (pyIsSpace(sb.charAt(i))) { if (!inWs) n += 1; inWs = true }
+      else { n += 1; inWs = false }
+      i += 1
+    }
+    n
   }
 
   /** Python str.strip() (no args): strip pyIsSpace chars from both ends. */

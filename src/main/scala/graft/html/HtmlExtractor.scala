@@ -145,10 +145,15 @@ object HtmlExtractor {
     }
   }
 
-  def extractBytes(html: Array[Byte], settings: ExtractSettings = ExtractSettings()): Extracted =
-    extract(new String(html, java.nio.charset.StandardCharsets.UTF_8), settings)
-
-  def extract(html: String, settings: ExtractSettings = ExtractSettings()): Extracted = {
+  /** PRODUCTION entry: extraction straight off the raw UTF-8 page bytes.
+    * The document is never decoded as a whole — the byte scanner
+    * ([[HtmlTokenizer.tokenizeBytesInto]]) walks the markup as bytes and
+    * only the text runs that survive (cells, main-text blocks, <pre>)
+    * pay UTF-8 decode; skipped subtrees, boilerplate containers, tags and
+    * dropped attributes stay bytes. Positions (spans, page ranges) remain
+    * CHAR offsets, byte-identical to the decoded-string scan.
+    */
+  def extractBytes(html: Array[Byte], settings: ExtractSettings = ExtractSettings()): Extracted = {
     val scan = scanDocument(html)
     val pages = scan.pages
 
@@ -157,6 +162,12 @@ object HtmlExtractor {
       case None => scanAllRead(scan, settings)
     }
   }
+
+  /** String convenience/test surface — same result as [[extractBytes]] on
+    * the UTF-8 encoding (the byte path is the implementation).
+    */
+  def extract(html: String, settings: ExtractSettings = ExtractSettings()): Extracted =
+    extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8), settings)
 
   // -------------------------------------------------------------------
   // Pass 1: single forward scan -> blocks + raw tables per page
@@ -279,7 +290,7 @@ object HtmlExtractor {
     Text.collapseWhitespaceOf(sb)
   }
 
-  private def scanDocument(html: String): DocScan = {
+  private def scanDocument(html: Array[Byte]): DocScan = {
     var pageNum = 1
     val blockBuilders = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Blk]]
     val markupByPage = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[RawTable]]
@@ -297,6 +308,8 @@ object HtmlExtractor {
     val tableStack = scala.collection.mutable.Stack.empty[TableBuilder]
     var preBuilder: java.lang.StringBuilder = null
     var preStart = 0
+    // scratch for link-run length counting: decoded once, never stringified
+    val linkScratch = new java.lang.StringBuilder
 
     val blockText = new java.lang.StringBuilder
     var blockLinkChars = 0
@@ -312,10 +325,10 @@ object HtmlExtractor {
       blockHeading = false
     }
 
-    // sink-driven scan: the tokenizer calls straight into this handler —
-    // no Tok objects, no iterator hand-off (the token stream is consumed
-    // exactly once in order; the Iterator form remains for tests)
-    HtmlTokenizer.tokenizeInto(html, new HtmlTokenizer.TokSink {
+    // sink-driven BYTE scan: the tokenizer calls straight into this
+    // handler — no Tok objects, no iterator hand-off, and no full-document
+    // UTF-8 decode (text runs decode on append, and only when kept)
+    HtmlTokenizer.tokenizeBytesInto(html, new HtmlTokenizer.ByteTokSink {
       def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit = {
         attrs.collectFirst { case ("data-page", v) => v }.foreach { v =>
           try { flushBlock(); pageNum = v.trim.toInt } catch { case _: NumberFormatException => }
@@ -369,7 +382,7 @@ object HtmlExtractor {
         }
       }
 
-      def text(src: String, start: Int, end: Int, pos: Int): Unit = {
+      def text(src: Array[Byte], start: Int, end: Int, pos: Int): Unit = {
         if (skipDepth == 0) {
           if (preBuilder != null) HtmlTokenizer.appendRangeTo(preBuilder, src, start, end)
           else if (tableStack.nonEmpty) {
@@ -380,18 +393,23 @@ object HtmlExtractor {
             // builder with no per-run substring (link text still
             // materializes once for the collapsed-length count)
             HtmlTokenizer.appendRangeTo(blockText, src, start, end)
-            if (linkDepth > 0)
-              blockLinkChars += Text.collapseWhitespace(HtmlTokenizer.rangeText(src, start, end)).length
+            if (linkDepth > 0) {
+              // collapsed LENGTH only — no rangeText string, no collapsed
+              // string (same count as collapseWhitespace(rangeText).length)
+              linkScratch.setLength(0)
+              HtmlTokenizer.appendRangeTo(linkScratch, src, start, end)
+              blockLinkChars += Text.collapsedLengthOf(linkScratch)
+            }
             if (headingDepth > 0) blockHeading = true
           }
         }
       }
     })
     flushBlock()
-    // close unclosed tables (malformed html)
+    // close unclosed tables (malformed html); span end = decoded length
     while (tableStack.nonEmpty) {
       val tb = tableStack.pop()
-      val (raw, _) = tb.build(html.length)
+      val (raw, _) = tb.build(HtmlTokenizer.charLength(html))
       if (raw.grid.nonEmpty || raw.headerFromTh.nonEmpty) markupOf(tb.page) += raw
     }
 

@@ -344,6 +344,387 @@ object HtmlTokenizer {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Byte-level scan: tokenize the RAW UTF-8 page bytes, decoding only
+  // the text that downstream keeps
+  // -------------------------------------------------------------------
+
+  /** Streaming consumer of the BYTE-level token scan. Identical contract
+    * to [[TokSink]], except text runs arrive as ranges over the raw UTF-8
+    * byte array (entities not yet decoded) — consume them with the byte
+    * overloads of [[appendRangeTo]]/[[rangeText]], which fuse UTF-8 decode
+    * with entity decode. `pos`/`endPos` are CHAR offsets (UTF-16 code
+    * units) of the would-be decoded document, byte-identical to the String
+    * scanner's positions on valid UTF-8 — so spans and page-range
+    * arithmetic don't change when the input skips the full-document
+    * decode.
+    */
+  trait ByteTokSink {
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean, pos: Int, endPos: Int): Unit
+    def endTag(name: String, pos: Int, endPos: Int): Unit
+    def text(src: Array[Byte], startB: Int, endB: Int, pos: Int): Unit
+  }
+
+  /** UTF-16 length of the decoded form of `src` (valid UTF-8 assumed:
+    * one unit per 1-3-byte sequence, two per 4-byte sequence).
+    */
+  def charLength(src: Array[Byte]): Int = {
+    var i = 0
+    var c = 0
+    while (i < src.length) {
+      val b = src(i) & 0xFF
+      if ((b & 0xC0) != 0x80) { c += 1; if (b >= 0xF0) c += 1 }
+      i += 1
+    }
+    c
+  }
+
+  /** Entity-decoded text of src[from, to) — byte-array form of
+    * [[rangeText]]; UTF-8 decode fused with entity decode, so only this
+    * range ever materializes as chars.
+    */
+  def rangeText(src: Array[Byte], from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder(to - from)
+    appendRangeTo(sb, src, from, to)
+    sb.toString
+  }
+
+  /** Append the entity- and UTF-8-decoded run src[from, to) to `sb` with
+    * no intermediate strings — the byte-scan hot path. Semantics mirror
+    * [[decodeEntitiesInto]] exactly on valid UTF-8 (an entity's `;` must
+    * fall inside the range; bad numeric refs fall through as literal '&').
+    */
+  def appendRangeTo(sb: java.lang.StringBuilder, src: Array[Byte], from: Int, to: Int): Unit = {
+    var i = from
+    while (i < to) {
+      val b = src(i) & 0xFF
+      if (b == '&') {
+        val semi = indexOfByteIn(src, ';', i + 1, to)
+        if (semi > i && semi - i <= 10) {
+          // entity bodies are ASCII in every case we decode; a non-ASCII
+          // byte in the body fails the named lookup exactly like the
+          // String path's failed Map lookup
+          val body = asciiSlice(src, i + 1, semi)
+          if (body != null && (body.startsWith("#x") || body.startsWith("#X"))) {
+            try {
+              val cp = Integer.parseInt(body.substring(2), 16)
+              sb.appendCodePoint(cp); i = semi + 1
+            } catch { case _: Exception => sb.append('&'); i += 1 }
+          } else if (body != null && body.startsWith("#")) {
+            try {
+              val cp = Integer.parseInt(body.substring(1))
+              sb.appendCodePoint(cp); i = semi + 1
+            } catch { case _: Exception => sb.append('&'); i += 1 }
+          } else (if (body == null) None else NamedEntities.get(body)) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None => sb.append('&'); i += 1
+          }
+        } else { sb.append('&'); i += 1 }
+      } else if (b < 0x80) {
+        sb.append(b.toChar); i += 1
+      } else {
+        val packed = decodeCp(src, i, to)
+        sb.appendCodePoint((packed & 0xFFFFFFFFL).toInt)
+        i += (packed >>> 32).toInt
+      }
+    }
+  }
+
+  /** src[from, to) as a String iff every byte is ASCII; null otherwise. */
+  private def asciiSlice(src: Array[Byte], from: Int, to: Int): String = {
+    var i = from
+    while (i < to) {
+      if ((src(i) & 0xFF) >= 0x80) return null
+      i += 1
+    }
+    val out = new Array[Char](to - from)
+    i = from
+    while (i < to) { out(i - from) = (src(i) & 0xFF).toChar; i += 1 }
+    new String(out)
+  }
+
+  /** Decode the UTF-8 sequence at src[i]: returns (len << 32) | codePoint.
+    * Malformed sequences decode to U+FFFD with length 1 (valid UTF-8 —
+    * the case the corpus guarantees — is exact; the replacement policy on
+    * junk approximates the JDK decoder's).
+    */
+  private def decodeCp(src: Array[Byte], i: Int, end: Int): Long = {
+    @inline def cont(k: Int): Boolean = k < end && (src(k) & 0xC0) == 0x80
+    val b0 = src(i) & 0xFF
+    if (b0 < 0xC2) (1L << 32) | 0xFFFD // stray continuation or overlong lead
+    else if (b0 < 0xE0) {
+      if (cont(i + 1)) (2L << 32) | (((b0 & 0x1F) << 6) | (src(i + 1) & 0x3F)).toLong
+      else (1L << 32) | 0xFFFD
+    } else if (b0 < 0xF0) {
+      if (cont(i + 1) && cont(i + 2)) {
+        val cp = ((b0 & 0x0F) << 12) | ((src(i + 1) & 0x3F) << 6) | (src(i + 2) & 0x3F)
+        if (cp >= 0x800 && !(cp >= 0xD800 && cp <= 0xDFFF)) (3L << 32) | cp.toLong
+        else (1L << 32) | 0xFFFD
+      } else (1L << 32) | 0xFFFD
+    } else if (b0 < 0xF5) {
+      if (cont(i + 1) && cont(i + 2) && cont(i + 3)) {
+        val cp = ((b0 & 0x07) << 18) | ((src(i + 1) & 0x3F) << 12) |
+          ((src(i + 2) & 0x3F) << 6) | (src(i + 3) & 0x3F)
+        if (cp >= 0x10000 && cp <= 0x10FFFF) (4L << 32) | cp.toLong
+        else (1L << 32) | 0xFFFD
+      } else (1L << 32) | 0xFFFD
+    } else (1L << 32) | 0xFFFD
+  }
+
+  /** First index of ASCII byte `c` in src[from, to), or -1. Safe on UTF-8:
+    * continuation/lead bytes are >= 0x80 and can never equal an ASCII
+    * needle.
+    */
+  private[html] def indexOfByteIn(src: Array[Byte], c: Char, from: Int, to: Int): Int = {
+    val cb = c.toByte
+    var i = from
+    while (i < to) {
+      if (src(i) == cb) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def startsWithAscii(src: Array[Byte], i: Int, pat: String): Boolean = {
+    if (i + pat.length > src.length) return false
+    var j = 0
+    while (j < pat.length) {
+      if (src(i + j) != pat.charAt(j).toByte) return false
+      j += 1
+    }
+    true
+  }
+
+  private def indexOfAscii(src: Array[Byte], pat: String, from: Int): Int = {
+    val limit = src.length - pat.length
+    var i = math.max(from, 0)
+    while (i <= limit) {
+      if (startsWithAscii(src, i, pat)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Case-insensitive indexOf for lowercase-ASCII needles over bytes. */
+  private def indexOfIgnoreCaseAscii(src: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.length
+    val limit = src.length - n
+    var i = math.max(from, 0)
+    while (i <= limit) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        val b = src(i + j) & 0xFF
+        val a = if (b < 0x80) lowerAscii(b.toChar) else b.toChar
+        if (a != needle.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def internedNameBytes(src: Array[Byte], start: Int, end: Int): String = {
+    val len = end - start
+    if (len > 0 && len < InternedNames.length) {
+      val cands = InternedNames(len)
+      var k = 0
+      while (k < cands.length) {
+        val t = cands(k)
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          val b = src(start + j) & 0xFF
+          if (b >= 0x80 || lowerAscii(b.toChar) != t.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) return t
+        k += 1
+      }
+    }
+    new String(src, start, end - start, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+  }
+
+  private def retainedAttrBytes(src: Array[Byte], start: Int, end: Int): String = {
+    val len = end - start
+    var k = 0
+    while (k < RetainedAttrs.length) {
+      val t = RetainedAttrs(k)
+      if (t.length == len) {
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          val b = src(start + j) & 0xFF
+          if (b >= 0x80 || lowerAscii(b.toChar) != t.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) return t
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** Single forward scan over the RAW UTF-8 bytes driving `sink` — same
+    * scanner structure, emission order and CHAR positions as
+    * [[tokenizeInto]] on the decoded string (HtmlTokenizerBytesSpec pins
+    * the equivalence property), but the document is never decoded as a
+    * whole: markup, skipped subtrees and dropped attributes stay bytes,
+    * and only the text ranges the sink keeps pay UTF-8 decode. Non-ASCII
+    * sequences inside tags are evaluated per code point (so exotic
+    * Unicode whitespace separates attributes exactly as it does in the
+    * char scanner).
+    */
+  def tokenizeBytesInto(html: Array[Byte], sink: ByteTokSink): Unit = {
+    val n = html.length
+    var i = 0
+    var pendingRawEnd: String = null
+
+    // lazy, monotone byte→char(UTF-16) position counter: every sink
+    // position is derived by advancing this counter over the bytes in
+    // between — each byte is counted exactly once across the whole scan
+    var cpB = 0
+    var cpC = 0
+    def charPos(target: Int): Int = {
+      var b = cpB
+      var c = cpC
+      while (b < target) {
+        val x = html(b) & 0xFF
+        if ((x & 0xC0) != 0x80) { c += 1; if (x >= 0xF0) c += 1 }
+        b += 1
+      }
+      cpB = b; cpC = c
+      c
+    }
+
+    // whitespace test at byte index j (ASCII fast path; non-ASCII decodes
+    // the code point so Unicode whitespace matches the char scanner);
+    // returns the byte length to skip if whitespace, else 0
+    def wsLenAt(j: Int): Int = {
+      val b = html(j) & 0xFF
+      if (b < 0x80) { if (Character.isWhitespace(b.toChar)) 1 else 0 }
+      else {
+        val packed = decodeCp(html, j, n)
+        if (Character.isWhitespace((packed & 0xFFFFFFFFL).toInt)) (packed >>> 32).toInt else 0
+      }
+    }
+    @inline def seqLenAt(j: Int): Int = {
+      val b = html(j) & 0xFF
+      if (b < 0x80) 1 else (decodeCp(html, j, n) >>> 32).toInt
+    }
+
+    def parseStartTag(start: Int): Unit = {
+      var j = start + 1
+      val nameStart = j
+      while (j < n && isNameCharB(html(j))) j += 1
+      if (j == nameStart) {
+        sink.startTag("", Nil, selfClosing = true, charPos(start), charPos(start + 1))
+        i = start + 1
+        return
+      }
+      val name = internedNameBytes(html, nameStart, j)
+      var attrs: List[(String, String)] = Nil
+      var selfClosing = false
+      var done = false
+      while (!done && j < n) {
+        var w = 0
+        while (j < n && { w = wsLenAt(j); w > 0 }) j += w
+        if (j >= n) done = true
+        else ((html(j) & 0xFF).toChar) match {
+          case '>' => j += 1; done = true
+          case '/' =>
+            if (j + 1 < n && html(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+            else j += 1
+          case _ =>
+            val aStart = j
+            while (j < n && wsLenAt(j) == 0 && html(j) != '=' && html(j) != '>' && html(j) != '/')
+              j += seqLenAt(j)
+            val aName = retainedAttrBytes(html, aStart, j)
+            while (j < n && { w = wsLenAt(j); w > 0 }) j += w
+            var aVal = ""
+            if (j < n && html(j) == '=') {
+              j += 1
+              while (j < n && { w = wsLenAt(j); w > 0 }) j += w
+              if (j < n && (html(j) == '"' || html(j) == '\'')) {
+                val q = (html(j) & 0xFF).toChar
+                val vStart = j + 1
+                val vEnd = indexOfByteIn(html, q, vStart, n)
+                if (vEnd < 0) { if (aName != null) aVal = rangeRaw(html, vStart, n); j = n }
+                else { if (aName != null) aVal = rangeRaw(html, vStart, vEnd); j = vEnd + 1 }
+              } else {
+                val vStart = j
+                while (j < n && wsLenAt(j) == 0 && html(j) != '>') j += seqLenAt(j)
+                if (aName != null) aVal = rangeRaw(html, vStart, j)
+              }
+            }
+            if (aName != null) attrs = (aName, decodeEntities(aVal)) :: attrs
+        }
+      }
+      sink.startTag(name, attrs.reverse, selfClosing, charPos(start), charPos(j))
+      i = j
+      if (!selfClosing && RawTextTags.contains(name)) pendingRawEnd = "</" + name
+    }
+
+    while (i < n) {
+      if (pendingRawEnd != null) {
+        val close = indexOfIgnoreCaseAscii(html, pendingRawEnd, i)
+        val endName = pendingRawEnd.substring(2)
+        if (close < 0) { i = n; pendingRawEnd = null }
+        else {
+          val gt = indexOfByteIn(html, '>', close, n)
+          val endB = if (gt < 0) n else gt + 1
+          sink.endTag(endName, charPos(close), charPos(endB))
+          i = endB
+          pendingRawEnd = null
+        }
+      } else {
+        val lt = indexOfByteIn(html, '<', i, n)
+        if (lt < 0) {
+          if (i < n) sink.text(html, i, n, charPos(i))
+          i = n
+        } else if (lt > i) {
+          sink.text(html, i, lt, charPos(i))
+          i = lt
+        } else {
+          if (startsWithAscii(html, i, "<!--")) {
+            val close = indexOfAscii(html, "-->", i + 4)
+            i = if (close < 0) n else close + 3
+          } else if (startsWithAscii(html, i, "<![CDATA[")) {
+            val close = indexOfAscii(html, "]]>", i + 9)
+            i = if (close < 0) n else close + 3
+          } else if (i + 1 < n && (html(i + 1) == '!' || html(i + 1) == '?')) {
+            val gt = indexOfByteIn(html, '>', i, n)
+            i = if (gt < 0) n else gt + 1
+          } else if (i + 1 < n && html(i + 1) == '/') {
+            val gt = indexOfByteIn(html, '>', i, n)
+            if (gt < 0) { i = n }
+            else {
+              var ns = i + 2
+              var ne = gt
+              while (ns < ne && (html(ns) & 0xFF) <= ' ') ns += 1 // String.trim semantics
+              while (ne > ns && (html(ne - 1) & 0xFF) <= ' ') ne -= 1
+              sink.endTag(internedNameBytes(html, ns, ne), charPos(i), charPos(gt + 1))
+              i = gt + 1
+            }
+          } else parseStartTag(lt)
+        }
+      }
+    }
+  }
+
+  /** Raw (pre-entity-decode) UTF-8 string of src[from, to) — the byte
+    * analog of String#substring for attribute values (entity decode
+    * happens in the caller, mirroring the char scanner).
+    */
+  private def rangeRaw(src: Array[Byte], from: Int, to: Int): String =
+    new String(src, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
+
+  @inline private def isNameCharB(b: Byte): Boolean = {
+    val c = b & 0xFF
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+  }
+
   /** The interned attribute name iff html[start, end) ASCII-case-
     * insensitively matches one the extractor consumes; null otherwise
     * (allocation-free either way).

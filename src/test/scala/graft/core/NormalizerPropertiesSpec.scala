@@ -114,6 +114,15 @@ class NormalizerPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("collapsedLengthOf(builder) == collapseWhitespace(string).length for all inputs") {
+    check(Prop.forAll(weirdString) { s =>
+      val sb = new java.lang.StringBuilder(s)
+      val n = Text.collapsedLengthOf(sb)
+      // length-only probe must not mutate the builder either
+      sb.toString == s && n == Text.collapseWhitespace(s).length
+    })
+  }
+
   test("polyHash(UTF8String) == polyHash(String) for all inputs (incl. astral)") {
     val astral: Gen[String] = Gen.listOf(Gen.frequency(
       8 -> weirdChar.map(_.toString),
