@@ -365,16 +365,25 @@ object HtmlTokenizer {
     def text(src: Array[Byte], startB: Int, endB: Int, pos: Int): Unit
   }
 
-  /** UTF-16 length of the decoded form of `src` (valid UTF-8 assumed:
-    * one unit per 1-3-byte sequence, two per 4-byte sequence).
+  /** UTF-16 length of the decoded form of `src`: one unit per 1-3-byte
+    * sequence, two per 4-byte sequence. Counts with the SAME state machine
+    * as [[decodeCp]], so on malformed input (stray continuation bytes,
+    * 0xF5-0xFF, truncated sequences) the count still equals exactly the
+    * number of UTF-16 units [[appendRangeTo]] emits — positions and
+    * decoded text can never desync, valid UTF-8 or not.
     */
   def charLength(src: Array[Byte]): Int = {
     var i = 0
     var c = 0
-    while (i < src.length) {
+    val n = src.length
+    while (i < n) {
       val b = src(i) & 0xFF
-      if ((b & 0xC0) != 0x80) { c += 1; if (b >= 0xF0) c += 1 }
-      i += 1
+      if (b < 0x80) { c += 1; i += 1 }
+      else {
+        val packed = decodeCp(src, i, n)
+        c += (if ((packed & 0xFFFFFFFFL) >= 0x10000L) 2 else 1)
+        i += (packed >>> 32).toInt
+      }
     }
     c
   }
@@ -399,23 +408,39 @@ object HtmlTokenizer {
     while (i < to) {
       val b = src(i) & 0xFF
       if (b == '&') {
-        val semi = indexOfByteIn(src, ';', i + 1, to)
-        if (semi > i && semi - i <= 10) {
-          // entity bodies are ASCII in every case we decode; a non-ASCII
-          // byte in the body fails the named lookup exactly like the
-          // String path's failed Map lookup
-          val body = asciiSlice(src, i + 1, semi)
-          if (body != null && (body.startsWith("#x") || body.startsWith("#X"))) {
+        // The string path's window is 10 CHARS ('&' to ';' inclusive of
+        // neither, semi - amp <= 10 UTF-16 units). 9 body units occupy at
+        // most 27 bytes, so a byte-window of 30 is sufficient; the char
+        // condition is then re-checked on the decoded body so multi-byte
+        // bodies gate identically to the string scanner.
+        val semi = indexOfByteIn(src, ';', i + 1, math.min(to, i + 31))
+        val body: String =
+          if (semi < 0) null
+          else {
+            val ascii = asciiSlice(src, i + 1, semi)
+            if (ascii != null) { if (semi - i <= 10) ascii else null }
+            else {
+              // rare: non-ASCII bytes in an entity body — decode and
+              // apply the same numeric/named rules the string path does
+              // (Integer.parseInt accepts any Unicode digit, so
+              // `&#١٢٣;` must decode here exactly as it does there)
+              val s = new String(src, i + 1, semi - i - 1,
+                java.nio.charset.StandardCharsets.UTF_8)
+              if (s.length + 1 <= 10) s else null
+            }
+          }
+        if (body != null) {
+          if (body.startsWith("#x") || body.startsWith("#X")) {
             try {
               val cp = Integer.parseInt(body.substring(2), 16)
               sb.appendCodePoint(cp); i = semi + 1
             } catch { case _: Exception => sb.append('&'); i += 1 }
-          } else if (body != null && body.startsWith("#")) {
+          } else if (body.startsWith("#")) {
             try {
               val cp = Integer.parseInt(body.substring(1))
               sb.appendCodePoint(cp); i = semi + 1
             } catch { case _: Exception => sb.append('&'); i += 1 }
-          } else (if (body == null) None else NamedEntities.get(body)) match {
+          } else NamedEntities.get(body) match {
             case Some(rep) => sb.append(rep); i = semi + 1
             case None => sb.append('&'); i += 1
           }
@@ -583,7 +608,12 @@ object HtmlTokenizer {
 
     // lazy, monotone byte→char(UTF-16) position counter: every sink
     // position is derived by advancing this counter over the bytes in
-    // between — each byte is counted exactly once across the whole scan
+    // between — each byte is counted exactly once across the whole scan.
+    // Steps with decodeCp (not per-byte lead-byte heuristics) so the
+    // count equals the units appendRangeTo emits even on malformed
+    // UTF-8. Targets always land on step boundaries: the scanner's
+    // boundaries are ASCII delimiters, decodeCp consumes >1 byte only
+    // for VALID sequences, and valid sequences contain no ASCII bytes.
     var cpB = 0
     var cpC = 0
     def charPos(target: Int): Int = {
@@ -591,8 +621,12 @@ object HtmlTokenizer {
       var c = cpC
       while (b < target) {
         val x = html(b) & 0xFF
-        if ((x & 0xC0) != 0x80) { c += 1; if (x >= 0xF0) c += 1 }
-        b += 1
+        if (x < 0x80) { c += 1; b += 1 }
+        else {
+          val packed = decodeCp(html, b, n)
+          c += (if ((packed & 0xFFFFFFFFL) >= 0x10000L) 2 else 1)
+          b += (packed >>> 32).toInt
+        }
       }
       cpB = b; cpC = c
       c

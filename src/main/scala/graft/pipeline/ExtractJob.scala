@@ -179,9 +179,10 @@ object ExtractJob {
     val outputPath = s"$outDir/extracted"
 
     val lineageOld: Option[DataFrame] =
-      if (cfg.resume && pathExists(spark, lineagePath))
+      if (cfg.resume && pathExists(spark, lineagePath)) {
+        migrateFlatLineage(spark, lineagePath)
         Some(spark.read.parquet(lineagePath))
-      else None
+      } else None
     val completed: Set[Int] = lineageOld match {
       case Some(df) => df.select(col("bucket").cast("int")).as[Int].collect().toSet
       case None => Set.empty
@@ -247,7 +248,10 @@ object ExtractJob {
           .withColumn("extractor_version", lit(ExtractorVersion))
           .select(col("urls"), col("rows_out"), col("tables_out"),
             col("html_bytes"), col("url_min"), col("url_max"),
-            col("extractor_version"), col("bucket"))
+            col("extractor_version"), col("bucket").cast("int").as("bucket"))
+          // typed gate: the encoder (by-name) is the schema check on the
+          // lineage table — column drift fails here, not at resume time
+          .as[LineageRow]
         newLineage.write
           .mode("overwrite")
           .partitionBy("bucket")
@@ -261,6 +265,43 @@ object ExtractJob {
     }
 
     RunStats(processedAcc.value, completed.size, cfg.buckets)
+  }
+
+  /** One-time upgrade of a lineage table written by the pre-O(pending)
+    * code, which stored it FLAT (whole-table overwrite, `bucket` as a data
+    * column at the directory root). Writing this run's partitioned
+    * carry-over next to those root-level files would leave a mixed layout
+    * Spark's partition discovery rejects — so on resume, if root-level
+    * data files exist, rewrite the table partitioned by bucket (O(buckets)
+    * rows) into a sibling temp dir and swap via rename. If bucket=N dirs
+    * ALSO already exist (a run of the new code against an unmigrated dir),
+    * the partitioned rows are the newer write and win per bucket.
+    */
+  private def migrateFlatLineage(spark: SparkSession, lineagePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(lineagePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+    val rootFiles = entries.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (rootFiles.isEmpty) return
+    val partDirs = entries.filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    val flat = spark.read
+      .parquet(rootFiles.map(_.getPath.toString).toIndexedSeq: _*)
+      .withColumn("bucket", col("bucket").cast("int"))
+    val merged =
+      if (partDirs.isEmpty) flat
+      else {
+        val parted = spark.read.option("basePath", lineagePath)
+          .parquet(partDirs.map(_.getPath.toString).toIndexedSeq: _*)
+          .withColumn("bucket", col("bucket").cast("int"))
+        flat.join(parted.select("bucket").distinct(), Seq("bucket"), "left_anti")
+          .unionByName(parted)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(lineagePath + ".migrating")
+    import spark.implicits._
+    merged.as[LineageRow].write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"lineage migration rename failed: $tmp -> $p")
   }
 
   /** List `bucket=N` partition directories under `path` — an O(buckets)

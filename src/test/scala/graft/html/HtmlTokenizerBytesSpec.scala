@@ -70,7 +70,10 @@ class HtmlTokenizerBytesSpec extends AnyFunSuite {
     "a　b", "…—–", "café au lait")
   private val entity = Gen.oneOf(
     "&amp;", "&lt;", "&gt;", "&nbsp;", "&mdash;", "&eacute;", "&#65;", "&#x2603;",
-    "&unknown;", "&#zz;", "& loose", "&toolongentityname;", "&#x10437;")
+    "&unknown;", "&#zz;", "& loose", "&toolongentityname;", "&#x10437;",
+    // non-ASCII entity bodies: Integer.parseInt accepts any Unicode digit,
+    // so the byte path must decode these exactly like the string path
+    "&#١٢٣;", "&#６５;", "&#１２３４５６７８９０;", "&ünknown;")
   private val textChunk: Gen[String] = Gen.frequency(
     5 -> asciiWord, 3 -> multiByte, 2 -> entity, 1 -> Gen.const(" \n\t "))
   private val attr: Gen[String] = for {
@@ -126,5 +129,44 @@ class HtmlTokenizerBytesSpec extends AnyFunSuite {
     val html = "😀😀<table><tr><td>y</td></tr></table>" // 2 code points = 4 units
     val ex = HtmlExtractor.extractBytes(html.getBytes("UTF-8"))
     assert(ex.spans.head.start == 4)
+  }
+
+  test("numeric entities with non-ASCII Unicode digits decode identically on both paths") {
+    // Integer.parseInt accepts any Unicode Nd digit, so the string scanner
+    // decodes these; the byte scanner must match (it used to emit '&')
+    assertEquivalent("<td>&#١٢٣;</td>")     // Arabic-Indic 123 -> '{'
+    assertEquivalent("<td>&#６５;</td>")     // full-width 65 -> 'A'
+    val arabic = "&#١٢٣;".getBytes("UTF-8")
+    assert(HtmlTokenizer.rangeText(arabic, 0, arabic.length) == "{")
+    val fullWidth = "&#６５;".getBytes("UTF-8")
+    assert(HtmlTokenizer.rangeText(fullWidth, 0, fullWidth.length) == "A")
+    // 10 full-width digits = 11 chars '&' to body end: over the 10-char
+    // window on BOTH paths even though it is 32 bytes
+    assertEquivalent("<td>&#１２３４５６７８９０;</td>")
+    // non-ASCII named body: fails the lookup on both paths -> literal '&'
+    assertEquivalent("<td>&ünknown; rest</td>")
+  }
+
+  test("malformed UTF-8: positions stay consistent with the units actually emitted") {
+    // stray continuation byte / invalid lead / truncated sequence — each
+    // decodes to U+FFFD replacement(s); charLength and charPos must count
+    // exactly the units appendRangeTo emits, or spans desync from text
+    val table = "<table><tr><td>x</td></tr></table>".getBytes("UTF-8")
+    val junks = Seq(
+      Array[Byte](0x80.toByte),              // stray continuation: 1 FFFD (old counter said 0)
+      Array[Byte](0xF5.toByte),              // invalid lead: 1 FFFD (old counter said 2)
+      Array[Byte](0xE0.toByte, 0x80.toByte), // truncated 3-byte: 2 FFFD (old counter said 1)
+      Array[Byte](0xC2.toByte))              // truncated 2-byte: 1 FFFD
+    for (j <- junks) {
+      val html = j ++ table
+      val decodedJunk = HtmlTokenizer.rangeText(html, 0, j.length)
+      assert(HtmlTokenizer.charLength(j) == decodedJunk.length,
+        s"charLength inconsistent for ${j.map(b => f"0x$b%02X").mkString(",")}")
+      val ex = HtmlExtractor.extractBytes(html)
+      assert(ex.spans.head.start == decodedJunk.length,
+        s"span start desynced for ${j.map(b => f"0x$b%02X").mkString(",")}")
+      assert(ex.spans.head.end == HtmlTokenizer.charLength(html))
+      assert(ex.tables.head.fragment.rows.head.toString.contains("x"))
+    }
   }
 }

@@ -94,6 +94,49 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(resumedOut.sameElements(fullOut), "resumed output identical to uninterrupted run")
   }
 
+  test("resume migrates a pre-O(pending) FLAT lineage layout before writing partitioned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-extract-migrate").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+    val fullOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    // rewrite the lineage in the OLD layout (whole-table overwrite, bucket
+    // as a data column at the root), minus bucket 7 (killed mid-run), and
+    // drop bucket 7's output — the exact on-disk state an upgraded binary
+    // inherits from a pre-round-6 run
+    val flat = spark.read.parquet(s"$dir/_lineage")
+      .withColumn("bucket", col("bucket").cast("int"))
+      .filter(col("bucket") =!= 7)
+      .localCheckpoint() // sever from the files about to be deleted
+    rmrf(new java.io.File(s"$dir/_lineage"))
+    flat.write.parquet(s"$dir/_lineage")
+    rmrf(new java.io.File(s"$dir/extracted/bucket=7"))
+
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 7)
+
+    // the mixed flat+partitioned layout never forms: after the run the
+    // lineage dir is purely partitioned and loads cleanly
+    val rootNames = new java.io.File(s"$dir/_lineage").listFiles().map(_.getName)
+    assert(rootNames.count(_.startsWith("bucket=")) == 8)
+    assert(!rootNames.exists(_.endsWith(".parquet")), s"flat files remain: ${rootNames.mkString(",")}")
+    val lineage = spark.read.parquet(s"$dir/_lineage")
+    assert(lineage.count() == 8)
+
+    val resumedOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(resumedOut.sameElements(fullOut), "output identical after migration + resume")
+  }
+
   test("resume is O(pending): completed-bucket output and lineage are never read or rewritten") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-extract-opending").toString
