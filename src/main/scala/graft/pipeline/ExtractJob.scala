@@ -34,7 +34,15 @@ object ExtractJob {
   final case class Config(
       buckets: Int = 32,
       resume: Boolean = true,
-      settings: ExtractSettings = ExtractSettings())
+      settings: ExtractSettings = ExtractSettings(),
+      /** Resume policy for buckets whose lineage was written by a DIFFERENT
+        * extractor version. Default false: stale buckets are re-extracted so
+        * a finished corpus is uniformly at [[ExtractorVersion]] (the
+        * north rule's byte-identical-per-url contract is per-version — a
+        * silent old/new mix would break it unreproducibly). Set true to
+        * accept mixed-version output, e.g. when a version bump is known not
+        * to change extraction bytes. */
+      acceptStaleVersions: Boolean = false)
 
   final case class RunStats(pagesProcessed: Long, bucketsSkipped: Int, bucketsPlanned: Int)
 
@@ -172,16 +180,30 @@ object ExtractJob {
     * The only driver-side state is the completed-bucket id set — O(buckets)
     * ints, bounded by `cfg.buckets` regardless of corpus size — used solely
     * to pick this run's partition dirs for the lineage scan.
+    *
+    * Resume is extractor-version-aware: a bucket is skipped only when its
+    * lineage row carries the CURRENT [[ExtractorVersion]] (this is what the
+    * version column in the lineage schema is for — `BASELINE.json`'s
+    * `(partition id, url range, rows, bytes, extractor version)`). After an
+    * extractor upgrade, a resume run re-extracts exactly the stale buckets,
+    * converging the corpus to one version; `cfg.acceptStaleVersions` opts
+    * out when mixed versions are acceptable.
     */
   def run(spark: SparkSession, pagesDs: Dataset[Page], outDir: String, cfg: Config = Config()): RunStats = {
     import spark.implicits._
     val lineagePath = s"$outDir/_lineage"
     val outputPath = s"$outDir/extracted"
 
+    // A lineage row marks a bucket skippable only if its extractor version
+    // is current (or the caller opted into mixed versions) — a stale row's
+    // bucket is re-extracted and its lineage dynamically overwritten.
     val lineageOld: Option[DataFrame] =
       if (cfg.resume && pathExists(spark, lineagePath)) {
         migrateFlatLineage(spark, lineagePath)
-        Some(spark.read.parquet(lineagePath))
+        val all = spark.read.parquet(lineagePath)
+        Some(
+          if (cfg.acceptStaleVersions) all
+          else all.filter(col("extractor_version") === lit(ExtractorVersion)))
       } else None
     val completed: Set[Int] = lineageOld match {
       case Some(df) => df.select(col("bucket").cast("int")).as[Int].collect().toSet

@@ -94,6 +94,54 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(resumedOut.sameElements(fullOut), "resumed output identical to uninterrupted run")
   }
 
+  test("resume re-extracts buckets whose lineage carries a stale extractor version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-extract-version").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+    val fullOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    def rewriteDir(path: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val df = f(spark.read.parquet(path)).localCheckpoint()
+      rmrf(new java.io.File(path))
+      df.write.parquet(path)
+    }
+    // age bucket 3: stamp its lineage with an older extractor version and
+    // tamper its output so re-extraction (or the lack of it) is observable
+    rewriteDir(s"$dir/_lineage/bucket=3")(
+      _.withColumn("extractor_version", lit("graft-extract-0.0.0")))
+    rewriteDir(s"$dir/extracted/bucket=3")(
+      _.withColumn("main_text", lit("TAMPERED")))
+
+    // opt-out accepts the stale bucket: nothing re-extracted, tamper survives
+    val accepted = ExtractJob.run(spark, pages, dir, cfg.copy(acceptStaleVersions = true))
+    assert(accepted.bucketsSkipped == 8)
+    assert(accepted.pagesProcessed == 0)
+    assert(ExtractJob.readOutput(spark, dir).filter(col("main_text") === "TAMPERED").count() > 0)
+
+    // default re-extracts exactly the stale bucket and converges the version
+    val expectedPending = pages.withColumn("bucket", ExtractJob.bucketOf(col("url"), 8))
+      .filter(col("bucket") === 3).count()
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 7)
+    assert(resumed.pagesProcessed == expectedPending)
+    val lineage = spark.read.parquet(s"$dir/_lineage")
+    assert(lineage.count() == 8)
+    assert(lineage.select("extractor_version").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(ExtractJob.ExtractorVersion))
+    val resumedOut = ExtractJob.readOutput(spark, dir)
+      .select("url", "main_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(resumedOut.sameElements(fullOut), "stale bucket re-extracted to current-version bytes")
+  }
+
   test("resume migrates a pre-O(pending) FLAT lineage layout before writing partitioned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-extract-migrate").toString
@@ -183,7 +231,10 @@ class ExtractJobSpec extends AnyFunSuite {
       // spark writes _SUCCESS inside the partition dir here; harmless
     }
 
-    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    // acceptStaleVersions: the marker rows carry a fake version on purpose,
+    // and this test is about resume COST, not the version policy (which has
+    // its own test above)
+    val resumed = ExtractJob.run(spark, pages, dir, cfg.copy(acceptStaleVersions = true))
     assert(resumed.bucketsSkipped == 6)
 
     // completed buckets' lineage rows survived untouched (carried over by
