@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{ExtractJob, Page}
+
+/** spark-submit entrypoint for the flagship extraction job (north rule:
+  * "run via spark-submit on a multi-executor cluster", resumable from the
+  * per-bucket lineage table).
+  *
+  * {{{
+  * spark-submit --class graft.ExtractMain graft.jar \
+  *   --input  /data/pages            # parquet: (url, warc_ts, html, text, lang)
+  *   --out    /data/extracted_run    # output root (extracted/ + _lineage/)
+  *   [--buckets 4096]                # url-hash partitions (size so p99 fits a core)
+  *   [--no-resume]                   # ignore existing lineage, redo everything
+  *   [--accept-stale-versions]       # skip buckets extracted by older versions
+  *   [--synthetic /root/testdata/sfX[:factor]]  # sandbox demo input instead of --input
+  * }}}
+  *
+  * Cluster topology (master, executor count/cores/memory, dynamic
+  * allocation) belongs to spark-submit flags, not this code: the session is
+  * `getOrCreate()` with no master override. The ONLY conf this main sets is
+  * a shuffle-partition default matched to `--buckets` when the submitter
+  * did not choose one (the job's single wide edge is the repartition onto
+  * `bucket`, so more shuffle partitions than buckets buys nothing).
+  *
+  * Exit code 0 and one final JSON line on stdout:
+  * `{"pages_processed":N,"buckets_skipped":K,"buckets_planned":B,"wall_sec":S}`.
+  */
+object ExtractMain {
+
+  final case class Args(
+      input: Option[String] = None,
+      synthetic: Option[String] = None,
+      out: Option[String] = None,
+      buckets: Int = 4096,
+      resume: Boolean = true,
+      acceptStaleVersions: Boolean = false)
+
+  def parse(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil => acc
+    case "--input" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
+    case "--synthetic" :: v :: rest => parse(rest, acc.copy(synthetic = Some(v)))
+    case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
+    case "--buckets" :: v :: rest => parse(rest, acc.copy(buckets = v.toInt))
+    case "--no-resume" :: rest => parse(rest, acc.copy(resume = false))
+    case "--accept-stale-versions" :: rest => parse(rest, acc.copy(acceptStaleVersions = true))
+    case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList)
+    val out = args.out.getOrElse(throw new IllegalArgumentException("--out is required"))
+    if (args.input.isEmpty == args.synthetic.isEmpty)
+      throw new IllegalArgumentException("exactly one of --input / --synthetic is required")
+
+    val builder = SparkSession.builder().appName("graft-extract")
+    val spark = builder.getOrCreate()
+    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+      spark.conf.set("spark.sql.shuffle.partitions", args.buckets)
+
+    import spark.implicits._
+    val pages =
+      args.input match {
+        case Some(path) =>
+          // by-name projection: tolerate extra columns in the source table,
+          // fail fast (AnalysisException) when a contract column is missing
+          spark.read.parquet(path)
+            .select("url", "warc_ts", "html", "text", "lang").as[Page]
+        case None =>
+          args.synthetic.get.split(':') match {
+            case Array(dir) => graft.pages.SyntheticPages.pages(spark, dir)
+            case Array(dir, factor) =>
+              graft.pages.SyntheticPages.pagesReplicated(spark, dir, factor.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"--synthetic expects dir[:factor], got ${args.synthetic.get}")
+          }
+      }
+
+    val cfg = ExtractJob.Config(
+      buckets = args.buckets,
+      resume = args.resume,
+      acceptStaleVersions = args.acceptStaleVersions)
+    val t0 = System.nanoTime()
+    val stats = ExtractJob.run(spark, pages, out, cfg)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // one machine-readable line, last on stdout (logs go to stderr)
+    println(
+      f"""{"pages_processed":${stats.pagesProcessed},"buckets_skipped":${stats.bucketsSkipped},"buckets_planned":${stats.bucketsPlanned},"wall_sec":$wallSec%.3f}""")
+    spark.stop()
+  }
+}
