@@ -58,6 +58,14 @@ object ExtractMain {
     val spark = builder.getOrCreate()
     if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
       spark.conf.set("spark.sql.shuffle.partitions", args.buckets)
+    // North rule: AQE skew-join stays OFF in favor of the deterministic
+    // url-hash bucketing — per-row placement (and thus per-file output
+    // layout) must not depend on runtime size estimates. Defensive here:
+    // this job's only wide edge is an explicit repartition AQE would not
+    // reshape anyway, and its one join is a broadcast anti-join.
+    // set-if-unset so an explicit submitter choice always wins.
+    if (spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled").isEmpty)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
 
     import spark.implicits._
     val pages =
