@@ -42,10 +42,36 @@ object ExtractMain {
     case "--input" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
     case "--synthetic" :: v :: rest => parse(rest, acc.copy(synthetic = Some(v)))
     case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
-    case "--buckets" :: v :: rest => parse(rest, acc.copy(buckets = v.toInt))
+    case "--buckets" :: v :: rest =>
+      val b = try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--buckets expects a positive integer, got: $v")
+      }
+      if (b <= 0) throw new IllegalArgumentException(s"--buckets must be positive, got: $v")
+      parse(rest, acc.copy(buckets = b))
     case "--no-resume" :: rest => parse(rest, acc.copy(resume = false))
     case "--accept-stale-versions" :: rest => parse(rest, acc.copy(acceptStaleVersions = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+  }
+
+  /** Job-level conf defaults, applied only when the submitter did not set
+    * the key. `spark.conf.getOption` CANNOT detect that: for registered SQL
+    * confs it returns the built-in default (`Some("200")` /`Some("true")`),
+    * never `None` — the SparkConf behind the context (spark-submit
+    * `--conf`, properties file, builder `.config`) is the record of what
+    * was explicitly chosen, so that is what gates here.
+    */
+  private[graft] def applyJobConfs(spark: SparkSession, buckets: Int): Unit = {
+    val submitted = spark.sparkContext.getConf
+    if (!submitted.contains("spark.sql.shuffle.partitions"))
+      spark.conf.set("spark.sql.shuffle.partitions", buckets)
+    // North rule: AQE skew-join stays OFF in favor of the deterministic
+    // url-hash bucketing — per-row placement (and thus per-file output
+    // layout) must not depend on runtime size estimates. Defensive: this
+    // job's only wide edge is an explicit repartition AQE would not reshape
+    // anyway, and its one join is a broadcast anti-join.
+    if (!submitted.contains("spark.sql.adaptive.skewJoin.enabled"))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
   }
 
   def main(argv: Array[String]): Unit = {
@@ -56,16 +82,7 @@ object ExtractMain {
 
     val builder = SparkSession.builder().appName("graft-extract")
     val spark = builder.getOrCreate()
-    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
-      spark.conf.set("spark.sql.shuffle.partitions", args.buckets)
-    // North rule: AQE skew-join stays OFF in favor of the deterministic
-    // url-hash bucketing — per-row placement (and thus per-file output
-    // layout) must not depend on runtime size estimates. Defensive here:
-    // this job's only wide edge is an explicit repartition AQE would not
-    // reshape anyway, and its one join is a broadcast anti-join.
-    // set-if-unset so an explicit submitter choice always wins.
-    if (spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled").isEmpty)
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    applyJobConfs(spark, args.buckets)
 
     import spark.implicits._
     val pages =
@@ -78,10 +95,12 @@ object ExtractMain {
         case None =>
           args.synthetic.get.split(':') match {
             case Array(dir) => graft.pages.SyntheticPages.pages(spark, dir)
-            case Array(dir, factor) =>
+            case Array(dir, factor)
+                if factor.nonEmpty && factor.length <= 9 &&
+                  factor.forall(_.isDigit) && factor.toInt > 0 =>
               graft.pages.SyntheticPages.pagesReplicated(spark, dir, factor.toInt)
             case _ => throw new IllegalArgumentException(
-              s"--synthetic expects dir[:factor], got ${args.synthetic.get}")
+              s"--synthetic expects dir[:factor] with a positive integer factor, got ${args.synthetic.get}")
           }
       }
 

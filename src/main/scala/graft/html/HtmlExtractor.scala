@@ -406,11 +406,16 @@ object HtmlExtractor {
       }
     })
     flushBlock()
-    // close unclosed tables (malformed html); span end = decoded length
-    while (tableStack.nonEmpty) {
-      val tb = tableStack.pop()
-      val (raw, _) = tb.build(HtmlTokenizer.charLength(html))
-      if (raw.grid.nonEmpty || raw.headerFromTh.nonEmpty) markupOf(tb.page) += raw
+    // close unclosed tables (malformed html); span end = decoded length,
+    // computed ONCE — charLength is a full pass over the page bytes, and a
+    // truncated crawl page can leave many tables on the stack
+    if (tableStack.nonEmpty) {
+      val endChar = HtmlTokenizer.charLength(html)
+      while (tableStack.nonEmpty) {
+        val tb = tableStack.pop()
+        val (raw, _) = tb.build(endChar)
+        if (raw.grid.nonEmpty || raw.headerFromTh.nonEmpty) markupOf(tb.page) += raw
+      }
     }
 
     val pageNums = (blockBuilders.keySet ++ markupByPage.keySet ++ preByPage.keySet).toVector.sorted

@@ -170,16 +170,20 @@ object ExtractJob {
     *    `isin` list baked into the plan, no driver round-trip on the
     *    filter path;
     *  - this run's lineage rows are aggregated from ONLY the partition
-    *    directories written this run (an O(pending) listing + scan —
-    *    completed buckets' parquet files are never opened, which
-    *    `ExtractJobSpec`'s corruption gate proves);
+    *    directories this run actually WROTE — tracked by a bounded
+    *    set-accumulator in the extraction stage, so a bucket dir left on
+    *    disk by an older run but absent from this run's input is neither
+    *    scanned nor re-stamped (its lineage row, current or stale, is
+    *    carried over verbatim). Completed buckets' parquet files are never
+    *    opened, which `ExtractJobSpec`'s corruption gate proves;
     *  - the lineage table itself is partitioned by bucket and written with
     *    dynamic partition overwrite, so completed buckets' lineage rows are
     *    carried over untouched instead of being recomputed and rewritten.
     *
-    * The only driver-side state is the completed-bucket id set — O(buckets)
-    * ints, bounded by `cfg.buckets` regardless of corpus size — used solely
-    * to pick this run's partition dirs for the lineage scan.
+    * The only driver-side state is two bucket-id sets (completed, written
+    * this run) — O(buckets) ints, bounded by `cfg.buckets` regardless of
+    * corpus size — used solely to pick this run's partition dirs for the
+    * lineage scan.
     *
     * Resume is extractor-version-aware: a bucket is skipped only when its
     * lineage row carries the CURRENT [[ExtractorVersion]] (this is what the
@@ -194,12 +198,20 @@ object ExtractJob {
     val lineagePath = s"$outDir/_lineage"
     val outputPath = s"$outDir/extracted"
 
+    // Heal any layout work a killed run left behind, resume or not: an
+    // interrupted atomic swap is rolled forward/back first, then a
+    // pre-O(pending) FLAT layout is migrated — also on --no-resume runs,
+    // where this run's partitioned lineage write would otherwise land NEXT
+    // TO the old root-level files (a mixed layout partition discovery
+    // rejects for every later reader).
+    recoverInterruptedMigration(spark, lineagePath)
+    if (pathExists(spark, lineagePath)) migrateFlatLineage(spark, lineagePath)
+
     // A lineage row marks a bucket skippable only if its extractor version
     // is current (or the caller opted into mixed versions) — a stale row's
     // bucket is re-extracted and its lineage dynamically overwritten.
     val lineageOld: Option[DataFrame] =
       if (cfg.resume && pathExists(spark, lineagePath)) {
-        migrateFlatLineage(spark, lineagePath)
         val all = spark.read.parquet(lineagePath)
         Some(
           if (cfg.acceptStaleVersions) all
@@ -224,6 +236,13 @@ object ExtractJob {
     }
 
     val processedAcc = spark.sparkContext.longAccumulator("graft.pagesProcessed")
+    // Which buckets this run actually writes — the lineage scan below must
+    // cover exactly these dirs, not every bucket dir on disk (dirs from
+    // older runs whose pages are absent from this input must keep their
+    // existing lineage rows, stale version and all). Bounded: each task
+    // contributes each bucket id at most once, so the driver-side value is
+    // O(tasks × buckets) ids worst case and O(buckets) distinct.
+    val writtenAcc = spark.sparkContext.collectionAccumulator[Int]("graft.bucketsWritten")
 
     // Extraction stays on the scan tasks (narrow); ONLY the extracted output
     // (no html) shuffles into its bucket before the partitioned write — one
@@ -231,8 +250,10 @@ object ExtractJob {
     val extracted = pending
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
       .mapPartitions { it =>
+        val seen = new java.util.HashSet[Int]()
         it.map { case (url, ts, html, text, lang, bucket) =>
           processedAcc.add(1L)
+          if (seen.add(bucket)) writtenAcc.add(bucket)
           extractPage(Page(url, ts, html, text, lang), bucket, cfg)
         }
       }
@@ -252,9 +273,18 @@ object ExtractJob {
 
       // Lineage for THIS RUN only, read back from the committed output so
       // the lineage reflects exactly what a reader will see (commit point).
-      // Only the pending buckets' partition dirs are listed and scanned.
+      // Only the partition dirs this run WROTE (accumulator-tracked) are
+      // listed and scanned — never completed buckets, and never leftover
+      // dirs from older runs whose pages were absent from this input (those
+      // keep their existing lineage rows and version stamps).
+      val writtenBuckets: Set[Int] = {
+        val it = writtenAcc.value.iterator()
+        val s = Set.newBuilder[Int]
+        while (it.hasNext) s += it.next()
+        s.result()
+      }
       val runDirs = bucketPartitionDirs(spark, outputPath)
-        .filterNot { case (b, _) => completed(b) }
+        .filter { case (b, _) => writtenBuckets(b) }
       if (runDirs.nonEmpty) {
         val newLineage = spark.read
           .option("basePath", outputPath)
@@ -293,11 +323,20 @@ object ExtractJob {
     * code, which stored it FLAT (whole-table overwrite, `bucket` as a data
     * column at the directory root). Writing this run's partitioned
     * carry-over next to those root-level files would leave a mixed layout
-    * Spark's partition discovery rejects — so on resume, if root-level
-    * data files exist, rewrite the table partitioned by bucket (O(buckets)
-    * rows) into a sibling temp dir and swap via rename. If bucket=N dirs
-    * ALSO already exist (a run of the new code against an unmigrated dir),
-    * the partitioned rows are the newer write and win per bucket.
+    * Spark's partition discovery rejects — so if root-level data files
+    * exist, rewrite the table partitioned by bucket (O(buckets) rows) into
+    * a sibling temp dir and swap it in. If bucket=N dirs ALSO already exist
+    * (a run of the new code against an unmigrated dir), the partitioned
+    * rows are the newer write and win per bucket.
+    *
+    * The swap is crash-safe: write `<p>.migrating` fully, rename the
+    * original aside to `<p>.premigrate`, rename the new table into place,
+    * then drop the original — at every kill point either the original or
+    * the complete migrated table is recoverable, and
+    * [[recoverInterruptedMigration]] (run unconditionally first) rolls the
+    * swap forward or back. A delete-before-rename would instead leave a
+    * WINDOW with no lineage dir at all, which a concurrent crash turns
+    * into a silent full-corpus re-extract on the next run.
     */
   private def migrateFlatLineage(spark: SparkSession, lineagePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(lineagePath)
@@ -318,12 +357,67 @@ object ExtractJob {
         flat.join(parted.select("bucket").distinct(), Seq("bucket"), "left_anti")
           .unionByName(parted)
       }
-    val tmp = new org.apache.hadoop.fs.Path(lineagePath + ".migrating")
+    val tmp = new org.apache.hadoop.fs.Path(lineagePath + MigratingSuffix)
+    val old = new org.apache.hadoop.fs.Path(lineagePath + PremigrateSuffix)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     import spark.implicits._
     merged.as[LineageRow].write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    fs.delete(p, true)
+    // Completeness marker for [[recoverInterruptedMigration]], written by
+    // hand: whether the committer leaves a root _SUCCESS depends on session
+    // conf (dynamic partitionOverwriteMode suppresses it), and a missing
+    // marker silently downgrades every interrupted swap to a roll-back +
+    // re-migration. Only reached when the write above returned, so the
+    // marker truthfully means "tmp is the complete table".
+    fs.createNewFile(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"lineage migration rename failed: $p -> $old")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"lineage migration rename failed: $tmp -> $p")
+    fs.delete(old, true)
+  }
+
+  private[pipeline] val MigratingSuffix = ".migrating"
+  private[pipeline] val PremigrateSuffix = ".premigrate"
+
+  /** Roll an interrupted [[migrateFlatLineage]] swap forward or back. Cheap
+    * no-op (two existence checks) unless a kill hit the swap window.
+    *
+    * Kill-point inventory, given the swap order (write tmp → rename p→old
+    * → rename tmp→p → delete old):
+    *  - during the tmp write: p untouched → drop the partial tmp; the
+    *    migration simply reruns;
+    *  - between the renames: p missing but tmp is the COMPLETE migrated
+    *    table (the p→old rename only runs after the tmp write returned) →
+    *    roll forward: tmp→p, drop old;
+    *  - after the second rename: p is authoritative → drop the leftovers;
+    *  - defensively, if p is missing and tmp is absent/incomplete but the
+    *    original survives at old → roll back: old→p.
+    */
+  private[pipeline] def recoverInterruptedMigration(spark: SparkSession, lineagePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(lineagePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(lineagePath + MigratingSuffix)
+    val old = new org.apache.hadoop.fs.Path(lineagePath + PremigrateSuffix)
+    val haveTmp = fs.exists(tmp)
+    val haveOld = fs.exists(old)
+    if (!haveTmp && !haveOld) return
+    if (fs.exists(p)) {
+      // p is authoritative: either the swap never started destructive work
+      // (partial tmp) or it fully completed (old not yet deleted)
+      if (haveTmp) fs.delete(tmp, true)
+      if (haveOld) fs.delete(old, true)
+    } else if (haveTmp && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"lineage migration roll-forward failed: $tmp -> $p")
+      if (haveOld) fs.delete(old, true)
+    } else if (haveOld) {
+      if (haveTmp) fs.delete(tmp, true)
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"lineage migration roll-back failed: $old -> $p")
+    } else {
+      fs.delete(tmp, true) // incomplete tmp and no original to restore
+      ()
+    }
   }
 
   /** List `bucket=N` partition directories under `path` — an O(buckets)

@@ -67,20 +67,22 @@ object StreamReplay {
     withoutNoDataBatches(spark) {
       val input = MemoryStream[(Long, String, java.sql.Timestamp)]
       val sink = s"graft_ttl_replay_${Integer.toHexString(dir.hashCode)}"
-      val ck = java.nio.file.Files.createTempDirectory("graft-ttl-replay").toString
-      val q = StreamingExtract.dedupStreamTtl(spark, input.toDS(),
-          watermarkDelay = "0 seconds", ttlMillis = 90000L)
-        .toDF("doc_id", "text")
-        .writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(sink)
-        .option("checkpointLocation", s"$ck/ck")
-        .start()
+      val ck = java.nio.file.Files.createTempDirectory("graft-ttl-replay")
       try {
-        byBatch.foreach { rows => input.addData(rows); q.processAllAvailable() }
-      } finally q.stop()
-      val accepted = spark.table(sink).as[(Long, String)].collect().map(_._1).sorted
-      accepted.toSeq.map(id => (id, id % 10, (id / 10) % 8))
-        .toDF("doc_id", "content_key", "batch")
+        val q = StreamingExtract.dedupStreamTtl(spark, input.toDS(),
+            watermarkDelay = "0 seconds", ttlMillis = 90000L)
+          .toDF("doc_id", "text")
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(sink)
+          .option("checkpointLocation", s"$ck/ck")
+          .start()
+        try {
+          byBatch.foreach { rows => input.addData(rows); q.processAllAvailable() }
+        } finally q.stop()
+        val accepted = spark.table(sink).as[(Long, String)].collect().map(_._1).sorted
+        accepted.toSeq.map(id => (id, id % 10, (id / 10) % 8))
+          .toDF("doc_id", "content_key", "batch")
+      } finally cleanupReplay(spark, sink, ck)
     }
   }
 
@@ -122,22 +124,46 @@ object StreamReplay {
     withoutNoDataBatches(spark) {
       val input = MemoryStream[Page]
       val sink = s"graft_rate_replay_${Integer.toHexString(dir.hashCode)}"
-      val ck = java.nio.file.Files.createTempDirectory("graft-rate-replay").toString
-      val q = StreamingExtract.pageRateAgg(input.toDS())
-        .writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(sink)
-        .option("checkpointLocation", s"$ck/ck")
-        .start()
+      val ck = java.nio.file.Files.createTempDirectory("graft-rate-replay")
       try {
-        batches.foreach { rows => input.addData(rows); q.processAllAvailable() }
-        input.addData(Seq(sentinel)); q.processAllAvailable()
-      } finally q.stop()
-      val flushed = spark.table(sink)
-        .select(unix_millis(col("window.start")).as("window_start_ms"),
-          col("lang"), col("pages"), col("text_chars"))
-        .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
-      flushed.toSeq.toDF("window_start_ms", "lang", "pages", "text_chars")
+        val q = StreamingExtract.pageRateAgg(input.toDS())
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(sink)
+          .option("checkpointLocation", s"$ck/ck")
+          .start()
+        try {
+          batches.foreach { rows => input.addData(rows); q.processAllAvailable() }
+          input.addData(Seq(sentinel)); q.processAllAvailable()
+        } finally q.stop()
+        val flushed = spark.table(sink)
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("lang"), col("pages"), col("text_chars"))
+          .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+        flushed.toSeq.toDF("window_start_ms", "lang", "pages", "text_chars")
+      } finally cleanupReplay(spark, sink, ck)
     }
+  }
+
+  /** Drops the replay's memory-sink temp view and deletes its temp
+    * checkpoint dir. Each replay otherwise leaks a registered table into
+    * the long-lived session and a checkpoint tree into /tmp — Verify and
+    * the test JVM run several replays per JVM, and the DfCache memo means
+    * the sink table would otherwise shadow a later same-dir replay's sink
+    * only silently. Cleanup is best-effort: a failed delete must not mask
+    * the replay's result (or its primary exception).
+    */
+  private def cleanupReplay(
+      spark: SparkSession, sink: String, ck: java.nio.file.Path): Unit = {
+    try spark.catalog.dropTempView(sink) catch { case _: Exception => () }
+    try {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(ck)) {
+        val walk = Files.walk(ck)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   private def withoutNoDataBatches[A](spark: SparkSession)(body: => A): A = {

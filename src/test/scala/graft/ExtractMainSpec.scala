@@ -21,6 +21,29 @@ class ExtractMainSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ExtractMain.parse(List("--bogus")))
   }
 
+  test("arg parsing: --buckets rejects non-positive and non-numeric values") {
+    assertThrows[IllegalArgumentException](ExtractMain.parse(List("--buckets", "0", "--out", "/x")))
+    assertThrows[IllegalArgumentException](ExtractMain.parse(List("--buckets", "-4", "--out", "/x")))
+    assertThrows[IllegalArgumentException](ExtractMain.parse(List("--buckets", "many", "--out", "/x")))
+  }
+
+  test("applyJobConfs: explicit submitter confs win; unset ones get job defaults") {
+    val skewKey = "spark.sql.adaptive.skewJoin.enabled"
+    val prevSkew = spark.conf.get(skewKey)
+    try {
+      // SharedSpark's builder explicitly sets shuffle.partitions=4 — that is
+      // a submitter choice recorded in the SparkConf, so the --buckets-based
+      // default must NOT override it
+      spark.conf.set(skewKey, "true") // runtime value; NOT in the SparkConf
+      ExtractMain.applyJobConfs(spark, buckets = 512)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+        "explicit submitter conf was overridden")
+      // skewJoin.enabled was never submitted, so the deterministic-layout
+      // default applies even though the runtime session had it true
+      assert(spark.conf.get(skewKey) == "false")
+    } finally spark.conf.set(skewKey, prevSkew)
+  }
+
   test("--input path: by-name projection tolerates extra columns, fails fast on missing ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -255,6 +255,159 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(pendingOut.count() == expectedPending)
   }
 
+  test("interrupted migration: complete .migrating table rolls FORWARD") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-migrate-fwd").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    // simulate a kill between the two swap renames: the old FLAT original
+    // is parked at .premigrate (plant a marker version in it so we can tell
+    // which table won) and the COMPLETE migrated table — written the way
+    // migrateFlatLineage writes it, static overwrite + explicit _SUCCESS
+    // marker — sits at .migrating
+    val lineage = new java.io.File(s"$dir/_lineage")
+    val parked = new java.io.File(s"$dir/_lineage${ExtractJob.PremigrateSuffix}")
+    val tmp = new java.io.File(s"$dir/_lineage${ExtractJob.MigratingSuffix}")
+    val real = spark.read.parquet(lineage.toString)
+      .withColumn("bucket", col("bucket").cast("int")).localCheckpoint()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(lineage)
+    real.withColumn("extractor_version", lit("loser-version"))
+      .write.parquet(parked.toString) // flat, as the pre-migration layout was
+    real.write.partitionBy("bucket").parquet(tmp.toString)
+    assert(new java.io.File(tmp, "_SUCCESS").exists(),
+      "test setup must mirror the migration's completeness marker")
+
+    ExtractJob.recoverInterruptedMigration(spark, s"$dir/_lineage")
+    assert(lineage.exists() && !parked.exists() && !tmp.exists())
+    val versions = spark.read.parquet(s"$dir/_lineage")
+      .select("extractor_version").distinct().collect().map(_.getString(0)).toSeq
+    assert(versions == Seq(ExtractJob.ExtractorVersion), "migrated table won, not the parked original")
+
+    // and a subsequent resume run sees a healthy, fully-completed corpus
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 8 && resumed.pagesProcessed == 0)
+  }
+
+  test("interrupted migration: incomplete .migrating table rolls BACK to the original") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-migrate-back").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    // simulate a kill DURING the tmp write of a swap whose p→old rename
+    // somehow preceded completion (the defensive branch): original parked
+    // at .premigrate, .migrating exists but has no _SUCCESS
+    val lineage = new java.io.File(s"$dir/_lineage")
+    val parked = new java.io.File(s"$dir/_lineage${ExtractJob.PremigrateSuffix}")
+    val tmp = new java.io.File(s"$dir/_lineage${ExtractJob.MigratingSuffix}")
+    assert(lineage.renameTo(parked))
+    tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmp, "part-garbage.parquet").toPath,
+      "partial write".getBytes("UTF-8"))
+
+    ExtractJob.recoverInterruptedMigration(spark, s"$dir/_lineage")
+    assert(lineage.exists() && !parked.exists() && !tmp.exists())
+    val resumed = ExtractJob.run(spark, pages, dir, cfg)
+    assert(resumed.bucketsSkipped == 8 && resumed.pagesProcessed == 0)
+  }
+
+  test("interrupted migration: leftovers next to an authoritative table are dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-migrate-noop").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    // a kill after the second rename but before the old copy was deleted:
+    // the real table is in place, both suffix dirs linger
+    val parked = new java.io.File(s"$dir/_lineage${ExtractJob.PremigrateSuffix}")
+    val tmp = new java.io.File(s"$dir/_lineage${ExtractJob.MigratingSuffix}")
+    parked.mkdirs(); tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(parked, "old.parquet").toPath, Array[Byte](1))
+    java.nio.file.Files.write(new java.io.File(tmp, "new.parquet").toPath, Array[Byte](2))
+
+    val resumed = ExtractJob.run(spark, pages, dir, cfg) // recovery runs first
+    assert(!parked.exists() && !tmp.exists())
+    assert(resumed.bucketsSkipped == 8 && resumed.pagesProcessed == 0)
+  }
+
+  test("--no-resume run still migrates a FLAT lineage layout (no mixed layout forms)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-migrate-noresume").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    // rewrite the lineage in the OLD flat layout (bucket as a data column,
+    // files at the table root)
+    val flat = spark.read.parquet(s"$dir/_lineage")
+      .withColumn("bucket", col("bucket").cast("int"))
+      .localCheckpoint()
+    rmrf(new java.io.File(s"$dir/_lineage"))
+    flat.write.parquet(s"$dir/_lineage")
+
+    // a no-resume run ignores the lineage for SKIPPING but must still
+    // migrate the layout, or its partitioned write lands next to the old
+    // root-level files and every later reader rejects the mixed layout
+    val rerun = ExtractJob.run(spark, pages, dir, cfg.copy(resume = false))
+    assert(rerun.pagesProcessed == 500 && rerun.bucketsSkipped == 0)
+    val rootNames = new java.io.File(s"$dir/_lineage").listFiles().map(_.getName)
+    assert(rootNames.count(_.startsWith("bucket=")) == 8)
+    assert(!rootNames.exists(_.endsWith(".parquet")), s"flat files remain: ${rootNames.mkString(",")}")
+    assert(spark.read.parquet(s"$dir/_lineage").count() == 8)
+  }
+
+  test("lineage stamps only buckets WRITTEN this run: a leftover output dir absent from the input is neither scanned nor re-stamped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-written-only").toString
+    val cfg = ExtractJob.Config(buckets = 8)
+    val pages = SyntheticPages.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, dir, cfg)
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    // make buckets 6 and 7 pending (kill their lineage), then CORRUPT
+    // bucket 7's leftover output dir — if the lineage scan selected dirs by
+    // not-completed (the pre-accumulator logic) instead of written-this-run,
+    // it would open these garbage files and throw
+    rmrf(new java.io.File(s"$dir/_lineage/bucket=6"))
+    rmrf(new java.io.File(s"$dir/_lineage/bucket=7"))
+    val b7 = new java.io.File(s"$dir/extracted/bucket=7")
+    for (f <- b7.listFiles() if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes("UTF-8"))
+
+    // the second run's INPUT is missing bucket 7's pages entirely (an older
+    // run produced that dir from a feed this run does not carry)
+    val inputNo7 = pages
+      .withColumn("bucket", ExtractJob.bucketOf(col("url"), 8))
+      .filter(col("bucket") =!= 7)
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[Page]
+    val expected6 = pages.withColumn("bucket", ExtractJob.bucketOf(col("url"), 8))
+      .filter(col("bucket") === 6).count()
+
+    val resumed = ExtractJob.run(spark, inputNo7, dir, cfg)
+    assert(resumed.bucketsSkipped == 6)
+    assert(resumed.pagesProcessed == expected6, "only bucket 6 re-extracted")
+
+    // bucket 7 was not re-stamped: its lineage row stays absent (the dir's
+    // provenance is unknown — stamping it current-version would lie)
+    val after = spark.read.parquet(s"$dir/_lineage")
+    val stamped = after.select(col("bucket").cast("int")).as[Int].collect().toSet
+    assert(stamped == Set(0, 1, 2, 3, 4, 5, 6), s"unexpected lineage buckets: $stamped")
+  }
+
   test("SparkEntry.entry smoke: rows > 0") {
     assert(graft.SparkEntry.entry(spark).count() == 500)
   }
