@@ -172,18 +172,22 @@ object Bench {
     // headline under measured hypervisor steal (BENCH.md).
     val tExtractTrimmedMin = if (allExtract.length > 1) allExtract.sorted.apply(1) else allExtract.min
 
+    // Locale.ROOT: the f-interpolator uses the JVM default locale; a
+    // comma-decimal locale would make every number invalid JSON.
+    def jn(d: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + prec + "f", Double.box(d))
     val qs = (Seq("extract_docs_per_sec" -> docsPerSec, "extract_sec" -> tExtract,
       "extract_sec_median" -> tExtractMedian,
       "extract_sec_trimmed_min" -> tExtractTrimmedMin) ++ timings)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v) => "\"" + k + "\":" + jn(v, 4) }
       .mkString("{", ",", "}")
     val total = tExtract + timings.map(_._2).sum
-    val repsJson = allExtract.map(t => f"$t%.4f").mkString("[", ",", "]")
+    val repsJson = allExtract.map(t => jn(t, 4)).mkString("[", ",", "]")
     // raw per-query pass vectors (execution order = pass order): lets a
     // reader distinguish a genuine regression (all passes slow) from one
     // steal episode (a single inflated pass)
     val qreps = vectors.map { case (n, v) =>
-      "\"" + n + "\":" + v.map(t => f"$t%.4f").mkString("[", ",", "]")
+      "\"" + n + "\":" + v.map(t => jn(t, 4)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // SCHEMA STABILITY (round-2 advice): `value` is documents/sec — the
     // round-1 meaning — and `schema` versions the layout so a consumer
@@ -191,7 +195,7 @@ object Bench {
     // silently misreading. min/median/trimmed-min + the raw rep vectors are
     // all emitted explicitly. graft-bench/4 adds `queries_reps` (interleaved
     // round-robin passes) on top of /3.
-    val json = s"""{"schema":"graft-bench/4","metric":"documents/sec (extracted pages)","value":${f"$docsPerSec%.2f"},"unit":"docs/sec","docs_per_sec":${f"$docsPerSec%.2f"},"total_sec":${f"$total%.2f"},"extract_reps_sec":$repsJson,"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"queries_reps":$qreps,"sf":"$sfDir"}"""
+    val json = s"""{"schema":"graft-bench/4","metric":"documents/sec (extracted pages)","value":${jn(docsPerSec, 2)},"unit":"docs/sec","docs_per_sec":${jn(docsPerSec, 2)},"total_sec":${jn(total, 2)},"extract_reps_sec":$repsJson,"n_docs":$nDocs,"cpus":$cpus,"queries":$qs,"queries_reps":$qreps,"sf":"$sfDir"}"""
     // belt and braces for the driver's parser: the file copy survives any
     // stdout wrapping (round 1's [info]-prefixed line parsed as null)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")

@@ -111,9 +111,13 @@ object ExtractMain {
     val t0 = System.nanoTime()
     val stats = ExtractJob.run(spark, pages, out, cfg)
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // one machine-readable line, last on stdout (logs go to stderr)
+    // one machine-readable line, last on stdout (logs go to stderr).
+    // Locale.ROOT: the f-interpolator formats via the JVM default locale,
+    // which on a comma-decimal cluster image (de_DE, fr_FR) would emit
+    // "wall_sec":4,283 — invalid JSON.
+    val wallStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wallSec))
     println(
-      f"""{"pages_processed":${stats.pagesProcessed},"buckets_skipped":${stats.bucketsSkipped},"buckets_planned":${stats.bucketsPlanned},"wall_sec":$wallSec%.3f}""")
+      s"""{"pages_processed":${stats.pagesProcessed},"buckets_skipped":${stats.bucketsSkipped},"buckets_planned":${stats.bucketsPlanned},"wall_sec":$wallStr}""")
     spark.stop()
   }
 }

@@ -138,13 +138,22 @@ object HtmlTokenizer {
       // any non-ASCII char also disqualifies names that matched no
       // candidate prefix-wise; the substring path below handles them
     }
-    html.substring(start, end).toLowerCase
+    // Locale.ROOT: default-locale toLowerCase would fold "DIV" to "dıv"
+    // under tr_TR and break every tag-name comparison downstream.
+    html.substring(start, end).toLowerCase(java.util.Locale.ROOT)
   }
 
   private def lowerAscii(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
-  /** Case-insensitive indexOf for ASCII needles (avoids O(n) toLowerCase per call). */
+  /** ASCII-case-insensitive indexOf for lowercase-ASCII needles. Folding is
+    * deliberately ASCII-only (HTML5 treats raw-text close tags as ASCII
+    * case-insensitive, so `</scrİpt>` must NOT close a `<script>`): this is
+    * both spec behavior and what keeps the string and byte scanners
+    * emission-identical — Character.toLowerCase would additionally map
+    * U+0130/U+212A into ASCII, which [[indexOfIgnoreCaseAscii]] (bytes)
+    * never does.
+    */
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     val n = needle.length
     val limit = hay.length - n
@@ -153,7 +162,7 @@ object HtmlTokenizer {
       var j = 0
       var ok = true
       while (ok && j < n) {
-        val a = Character.toLowerCase(hay.charAt(i + j))
+        val a = lowerAscii(hay.charAt(i + j))
         if (a != needle.charAt(j)) ok = false
         j += 1
       }
@@ -377,15 +386,27 @@ object HtmlTokenizer {
     var c = 0
     val n = src.length
     while (i < n) {
-      val b = src(i) & 0xFF
-      if (b < 0x80) { c += 1; i += 1 }
-      else {
-        val packed = decodeCp(src, i, n)
-        c += (if ((packed & 0xFFFFFFFFL) >= 0x10000L) 2 else 1)
-        i += (packed >>> 32).toInt
-      }
+      val step = utf16Step(src, i, n)
+      c += (step & 0xFFFFFFFFL).toInt
+      i += (step >>> 32).toInt
     }
     c
+  }
+
+  /** One counting step at src(i): `(bytesConsumed << 32) | utf16Units`.
+    * This is the ONE place the byte→UTF-16 advance rule lives — both
+    * [[charLength]] and the byte scanner's position counter step with it,
+    * so a future change to the malformed-input replacement policy cannot
+    * desync span ends (charLength) from token positions (charPos).
+    */
+  @inline private[html] def utf16Step(src: Array[Byte], i: Int, n: Int): Long = {
+    val b = src(i) & 0xFF
+    if (b < 0x80) (1L << 32) | 1L
+    else {
+      val packed = decodeCp(src, i, n)
+      val units = if ((packed & 0xFFFFFFFFL) >= 0x10000L) 2L else 1L
+      (packed & 0xFFFFFFFF00000000L) | units
+    }
   }
 
   /** Entity-decoded text of src[from, to) — byte-array form of
@@ -568,7 +589,9 @@ object HtmlTokenizer {
         k += 1
       }
     }
-    new String(src, start, end - start, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+    // Locale.ROOT for the same reason as internedName's fallback.
+    new String(src, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+      .toLowerCase(java.util.Locale.ROOT)
   }
 
   private def retainedAttrBytes(src: Array[Byte], start: Int, end: Int): String = {
@@ -620,13 +643,9 @@ object HtmlTokenizer {
       var b = cpB
       var c = cpC
       while (b < target) {
-        val x = html(b) & 0xFF
-        if (x < 0x80) { c += 1; b += 1 }
-        else {
-          val packed = decodeCp(html, b, n)
-          c += (if ((packed & 0xFFFFFFFFL) >= 0x10000L) 2 else 1)
-          b += (packed >>> 32).toInt
-        }
+        val step = utf16Step(html, b, n)
+        c += (step & 0xFFFFFFFFL).toInt
+        b += (step >>> 32).toInt
       }
       cpB = b; cpC = c
       c

@@ -29,7 +29,12 @@ import graft.html.{ExtractSettings, HtmlExtractor}
   */
 object ExtractJob {
 
-  val ExtractorVersion = "graft-extract-0.1.0"
+  /** Stamped into every lineage row; version-aware resume re-extracts any
+    * bucket whose stamp differs. MUST be bumped whenever a change can alter
+    * extraction output bytes — 0.2.0: byte-level tokenizer (malformed-UTF-8
+    * replacement differs from the old JDK-decoder path) + ASCII-only
+    * raw-text close-tag folding. */
+  val ExtractorVersion = "graft-extract-0.2.0"
 
   final case class Config(
       buckets: Int = 32,
@@ -44,6 +49,10 @@ object ExtractJob {
         * to change extraction bytes. */
       acceptStaleVersions: Boolean = false)
 
+  /** `pagesProcessed` is derived from the COMMITTED output (sum of this
+    * run's lineage `rows_out`), not from an accumulator — map-stage
+    * accumulators double-count under task retry/speculation, so this is the
+    * number a reader of the output will actually see, exactly-once. */
   final case class RunStats(pagesProcessed: Long, bucketsSkipped: Int, bucketsPlanned: Int)
 
   def bucketOf(urlCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
@@ -235,7 +244,6 @@ object ExtractJob {
       case _ => withBucket
     }
 
-    val processedAcc = spark.sparkContext.longAccumulator("graft.pagesProcessed")
     // Which buckets this run actually writes — the lineage scan below must
     // cover exactly these dirs, not every bucket dir on disk (dirs from
     // older runs whose pages are absent from this input must keep their
@@ -252,7 +260,6 @@ object ExtractJob {
       .mapPartitions { it =>
         val seen = new java.util.HashSet[Int]()
         it.map { case (url, ts, html, text, lang, bucket) =>
-          processedAcc.add(1L)
           if (seen.add(bucket)) writtenAcc.add(bucket)
           extractPage(Page(url, ts, html, text, lang), bucket, cfg)
         }
@@ -265,6 +272,7 @@ object ExtractJob {
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     val prevMode = spark.conf.getOption(modeKey)
     spark.conf.set(modeKey, "dynamic")
+    var pagesWritten = 0L
     try {
       extracted.write
         .mode("overwrite")
@@ -286,7 +294,12 @@ object ExtractJob {
       val runDirs = bucketPartitionDirs(spark, outputPath)
         .filter { case (b, _) => writtenBuckets(b) }
       if (runDirs.nonEmpty) {
-        val newLineage = spark.read
+        // Collected to the driver before the write: O(written buckets)
+        // rows, bounded by cfg.buckets — the same bound as `completed`.
+        // This both (a) makes RunStats.pagesProcessed exactly-once (the
+        // committed row count, immune to task-retry double-counting) and
+        // (b) writes the lineage from one tiny task instead of a shuffle.
+        val newLineage: Array[LineageRow] = spark.read
           .option("basePath", outputPath)
           .parquet(runDirs.map(_._2): _*)
           .groupBy(col("bucket"))
@@ -304,7 +317,11 @@ object ExtractJob {
           // typed gate: the encoder (by-name) is the schema check on the
           // lineage table — column drift fails here, not at resume time
           .as[LineageRow]
-        newLineage.write
+          .collect()
+        pagesWritten = newLineage.iterator.map(_.rows_out).sum
+        spark.createDataset(newLineage.toIndexedSeq)
+          .coalesce(1)
+          .write
           .mode("overwrite")
           .partitionBy("bucket")
           .parquet(lineagePath)
@@ -316,7 +333,7 @@ object ExtractJob {
       }
     }
 
-    RunStats(processedAcc.value, completed.size, cfg.buckets)
+    RunStats(pagesWritten, completed.size, cfg.buckets)
   }
 
   /** One-time upgrade of a lineage table written by the pre-O(pending)

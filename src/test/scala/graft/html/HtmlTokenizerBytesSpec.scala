@@ -9,11 +9,10 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   * multi-byte sequences shift byte offsets away from char offsets.
   *
   * Generator notes: inputs are valid UTF-8 (the byte scanner's documented
-  * domain); chars whose Character.toLowerCase maps INTO ASCII (U+0130,
-  * U+017F, U+212A) are excluded from raw-text bodies because the char
-  * scanner's case-insensitive `</script` search would match them while the
-  * byte scanner (correctly) does not — a documented pathological-input
-  * divergence, not a corpus case.
+  * domain). Raw-text close-tag matching is ASCII-case-insensitive on BOTH
+  * paths (HTML5 semantics), so chars whose Character.toLowerCase maps INTO
+  * ASCII (U+0130, U+017F, U+212A) never close a raw-text element on either
+  * path — pinned by the dedicated test below.
   */
 class HtmlTokenizerBytesSpec extends AnyFunSuite {
 
@@ -145,6 +144,22 @@ class HtmlTokenizerBytesSpec extends AnyFunSuite {
     assertEquivalent("<td>&#１２３４５６７８９０;</td>")
     // non-ASCII named body: fails the lookup on both paths -> literal '&'
     assertEquivalent("<td>&ünknown; rest</td>")
+  }
+
+  test("raw-text close tags fold ASCII-only on both paths (HTML5): </scrİpt> does not close <script>") {
+    // U+0130 'İ' lowercases into ASCII 'i' under full Unicode folding, but
+    // HTML5 raw-text end-tag matching is ASCII-case-insensitive — the fake
+    // close tag must be swallowed as script text on BOTH scanners, and the
+    // REAL close tag (any ASCII case) must still match.
+    for (html <- Seq(
+        "<script>a</scrİpt>b</script>c",
+        "<style>x</ſtyle>y</STYLE>z", // U+017F 'ſ' long s
+        "<script>k</scrıpt></SCRIPT>")) { // U+0131 dotless ı never folds to i
+      assertEquivalent(html)
+      val evs = stringEvents(html)
+      assert(evs.count { case ETag("script", _, _) | ETag("style", _, _) => true; case _ => false } == 1,
+        s"exactly one real close tag expected in: $html — got $evs")
+    }
   }
 
   test("malformed UTF-8: positions stay consistent with the units actually emitted") {

@@ -9,6 +9,11 @@ class ExtractJobSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
   test("synthetic corpus is deterministic and covers the fixture variants") {
     import spark.implicits._
     val p1 = SyntheticPages.pages(spark, sfDir).collect().sortBy(_.url)
@@ -104,10 +109,6 @@ class ExtractJobSpec extends AnyFunSuite {
       .select("url", "main_text").collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     def rewriteDir(path: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
       val df = f(spark.read.parquet(path)).localCheckpoint()
       rmrf(new java.io.File(path))
@@ -152,10 +153,6 @@ class ExtractJobSpec extends AnyFunSuite {
       .select("url", "main_text").collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     // rewrite the lineage in the OLD layout (whole-table overwrite, bucket
     // as a data column at the root), minus bucket 7 (killed mid-run), and
     // drop bucket 7's output — the exact on-disk state an upgraded binary
@@ -272,10 +269,6 @@ class ExtractJobSpec extends AnyFunSuite {
     val tmp = new java.io.File(s"$dir/_lineage${ExtractJob.MigratingSuffix}")
     val real = spark.read.parquet(lineage.toString)
       .withColumn("bucket", col("bucket").cast("int")).localCheckpoint()
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     rmrf(lineage)
     real.withColumn("extractor_version", lit("loser-version"))
       .write.parquet(parked.toString) // flat, as the pre-migration layout was
@@ -343,10 +336,6 @@ class ExtractJobSpec extends AnyFunSuite {
     val pages = SyntheticPages.pages(spark, sfDir)
     ExtractJob.run(spark, pages, dir, cfg)
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     // rewrite the lineage in the OLD flat layout (bucket as a data column,
     // files at the table root)
     val flat = spark.read.parquet(s"$dir/_lineage")
@@ -373,10 +362,6 @@ class ExtractJobSpec extends AnyFunSuite {
     val pages = SyntheticPages.pages(spark, sfDir)
     ExtractJob.run(spark, pages, dir, cfg)
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     // make buckets 6 and 7 pending (kill their lineage), then CORRUPT
     // bucket 7's leftover output dir — if the lineage scan selected dirs by
     // not-completed (the pre-accumulator logic) instead of written-this-run,
