@@ -471,6 +471,27 @@ object Queries {
         .select(col("content_md5"), col("doc_id"), col("text"))
     }),
 
+    // the same append-mode semantics through the Bloom-pruned path: a
+    // broadcast Bloom over the ledger digests routes definitely-new batch
+    // winners around the anti-join (no false negatives), and only the
+    // might-contain slice — true dups plus ~fpp false positives — is
+    // verified by the exact join. fpp=0.05 at this scale guarantees both
+    // sides are non-trivially exercised. The Bloom build is an ACTION
+    // (one ledger scan), so the query is memoized per (session, dir)
+    // like q_dup_clusters to keep the PlanSpec construction-jobs gate.
+    "q_dedup_incremental_bloom" -> ((s, dir) =>
+      graft.core.DfCache.get(s, s"$dir#q_dedup_incremental_bloom") {
+        val d = docs(s, dir)
+        val ledger = d.filter(col("doc_id") < 300)
+          .select(md5(col("text")).as("content_md5"))
+        val incoming = d.filter(col("doc_id") >= 300).select(col("doc_id"), col("text"))
+          .union(d.filter(col("doc_id") < 300 && col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+        val lb = Dedup.ledgerBloom(ledger, expectedItems = 300, fpp = 0.05)
+        Dedup.incrementalExactDedupBloom(incoming, ledger, lb)
+          .select(col("content_md5"), col("doc_id"))
+      }),
+
     // connected components over a deterministic arithmetic pair graph
     // (consecutive-id chains broken at every 13th id, plus skip links from
     // every 100th id that re-merge two chains across a break — component
@@ -1520,6 +1541,21 @@ object Queries {
         |SELECT b.content_md5, b.doc_id, i.text FROM batch b
         |JOIN incoming i ON i.doc_id = b.doc_id AND md5(i.text) = b.content_md5
         |WHERE b.content_md5 NOT IN (SELECT content_md5 FROM ledger)""".stripMargin,
+    // the Bloom prune is a pure plan optimization — accepted keys are the
+    // exact not-in-ledger set regardless of which route each row took
+    "q_dedup_incremental_bloom" ->
+      """WITH ledger AS (
+        |  SELECT md5(text) AS content_md5 FROM documents WHERE doc_id < 300),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents
+        |  WHERE doc_id < 300 AND doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+        |  FROM incoming GROUP BY md5(text))
+        |SELECT content_md5, doc_id FROM batch
+        |WHERE content_md5 NOT IN (SELECT content_md5 FROM ledger)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

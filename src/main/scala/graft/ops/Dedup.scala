@@ -301,6 +301,80 @@ object Dedup {
     ledger.select(col("content_md5"))
       .union(accepted.select(col("content_md5")))
 
+  /** A ledger's Bloom filter plus the parameters it was sized with.
+    * The parameters travel with the filter because
+    * [[advanceLedgerBloom]] must build a COMPATIBLE filter over the
+    * accepted batch to merge in (Spark's `BloomFilter.mergeInPlace`
+    * requires identical bit size and hash count, both of which derive
+    * deterministically from `(expectedItems, fpp)`). Size `expectedItems`
+    * for the ledger's TARGET cardinality, not its current one — the
+    * filter is built once and advanced per batch, never rebuilt.
+    */
+  final case class LedgerBloom(
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long,
+      fpp: Double)
+
+  /** One distributed pass over the ledger's digests (tree-aggregated
+    * per-partition filters; nothing but the ~`1.2 * expectedItems` bytes
+    * of bits reaches the driver). 1B digests at fpp 0.01 is ~1.2 GB —
+    * broadcastable; at 10B move to fpp 0.03 or shard the ledger.
+    */
+  def ledgerBloom(ledger: DataFrame, expectedItems: Long, fpp: Double = 0.01): LedgerBloom =
+    LedgerBloom(
+      ledger.stat.bloomFilter("content_md5", math.max(expectedItems, 1L), fpp),
+      math.max(expectedItems, 1L), fpp)
+
+  /** The filter after accepting a batch: digests of `accepted` folded in —
+    * O(batch) work on the executors (a compatible filter is tree-built
+    * over the accepted digests and OR-merged), never a rescan of the
+    * ledger. Mirrors [[advanceLedger]]; call both after each batch.
+    * NOTE: `mergeInPlace` mutates the receiving filter — callers must
+    * treat the input `lb` as consumed.
+    */
+  def advanceLedgerBloom(lb: LedgerBloom, accepted: DataFrame): LedgerBloom = {
+    val add = accepted.stat.bloomFilter("content_md5", lb.expectedItems, lb.fpp)
+    LedgerBloom(lb.filter.mergeInPlace(add), lb.expectedItems, lb.fpp)
+  }
+
+  /** Bloom-pruned incremental exact dedup — bit-identical result to
+    * [[incrementalExactDedup]], built for the append loop at corpus scale,
+    * where the ledger dwarfs every batch and the batch is mostly new.
+    * The batch's within-batch winners split on `lb.filter` membership:
+    *
+    *   - mightContain = false → DEFINITELY absent from the ledger (Bloom
+    *     filters have no false negatives) → accepted with NO join at all;
+    *   - mightContain = true → true duplicate OR false positive (rate
+    *     `lb.fpp`) → verified by the exact ledger anti-join.
+    *
+    * Only the ~(batch-dup-rate + fpp) candidate slice of the batch reaches
+    * the shuffle, so the anti-join's batch side shrinks by ~100× for a
+    * 1%-dup crawl batch at fpp 0.01 — and the ledger side can be skipped
+    * entirely when `candidates` is empty. Exactness is unconditional:
+    * the negative side is exact by Bloom construction, the positive side
+    * is re-verified row by row.
+    *
+    * The membership test is a Scala UDF over an explicit broadcast (one
+    * filter copy per executor, not per task). A UDF is acceptable here —
+    * it runs on the batch winners' 32-char digests AFTER the map-side
+    * combine, never on page payloads, and it exists to delete a shuffle
+    * that costs orders of magnitude more than the non-codegen call.
+    */
+  def incrementalExactDedupBloom(incoming: DataFrame, ledger: DataFrame,
+      lb: LedgerBloom): DataFrame = {
+    val spark = incoming.sparkSession
+    val bc = spark.sparkContext.broadcast(lb.filter)
+    val might = udf((h: String) => bc.value.mightContainString(h))
+    val inBatchKeep = incoming
+      .withColumn("content_md5", md5(col("text")))
+      .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
+    val definitelyNew = inBatchKeep.filter(!might(col("content_md5")))
+    val candidates = inBatchKeep.filter(might(col("content_md5")))
+    val verifiedNew = candidates.join(
+      ledger.select(col("content_md5")), Seq("content_md5"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
   /** incrementalExactDedup returning the FULL accepted rows of `incoming`
     * (all original columns plus content_md5): the digest-only keep set is
     * computed first, then joined back on (content_md5, doc_id) — the

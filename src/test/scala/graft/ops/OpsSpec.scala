@@ -310,6 +310,53 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(21L))
   }
 
+  test("bloom-pruned incremental dedup: result identical to the exact path, append loop idempotent") {
+    import spark.implicits._
+    // 200-doc ledger, batch = 120 new + 40 ledger replays + in-batch twins:
+    // big enough that the fpp=0.2 filter routes rows down BOTH sides
+    // (definitely-new skips the join; might-contain is verified)
+    val texts = (0 until 200).map(i => s"ledger doc $i content")
+    val ledger = texts.toDF("text").select(md5(col("text")).as("content_md5"))
+    val batch = (
+      (0 until 120).map(i => (1000L + i, s"new doc $i body")) ++ // fresh
+        (0 until 40).map(i => (2000L + i, s"ledger doc ${i * 5} content")) ++ // replays
+        (0 until 120).map(i => (3000L + i, s"new doc $i body")) // in-batch twins
+      ).toDF("doc_id", "text")
+    val lb = Dedup.ledgerBloom(ledger, expectedItems = 200, fpp = 0.2)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaBloom = keys(Dedup.incrementalExactDedupBloom(batch, ledger, lb))
+    val viaExact = keys(Dedup.incrementalExactDedup(batch, ledger))
+    assert(viaBloom == viaExact, "bloom prune must not change the accepted set")
+    assert(viaBloom.size == 120 && viaBloom.forall(_._2 < 2000L), "min-id twins win, replays rejected")
+
+    // append loop: advance ledger AND filter, replay the same batch -> zero
+    val accepted = Dedup.incrementalExactDedupBloom(batch, ledger, lb)
+    val ledger2 = Dedup.advanceLedger(ledger, accepted)
+    val lb2 = Dedup.advanceLedgerBloom(lb, accepted)
+    assert(Dedup.incrementalExactDedupBloom(batch, ledger2, lb2).count() == 0)
+    // a later batch dedups against everything accepted so far
+    val next = Seq((5000L, "new doc 7 body"), (5001L, "genuinely unseen")).toDF("doc_id", "text")
+    assert(keys(Dedup.incrementalExactDedupBloom(next, ledger2, lb2)).map(_._2) == Set(5001L))
+  }
+
+  test("bloom ledger: no false negatives; incompatible advance parameters fail loudly") {
+    import spark.implicits._
+    val ledger = (0 until 500).map(i => s"doc $i").toDF("text")
+      .select(md5(col("text")).as("content_md5"))
+    val lb = Dedup.ledgerBloom(ledger, expectedItems = 500, fpp = 0.03)
+    // Bloom contract the prune's correctness rests on: every ledger digest
+    // answers mightContain=true — a false negative would skip verification
+    // and admit a duplicate
+    val misses = ledger.collect().map(_.getString(0)).count(h => !lb.filter.mightContainString(h))
+    assert(misses == 0, s"$misses ledger digests answered mightContain=false")
+    // advancing with a filter sized differently is an error, not silent
+    // corruption: mergeInPlace requires identical bit/hash geometry
+    val other = Seq("x").toDF("text").select(md5(col("text")).as("content_md5"))
+    val incompatible = Dedup.LedgerBloom(lb.filter, expectedItems = 9999, fpp = 0.5)
+    intercept[Exception] { Dedup.advanceLedgerBloom(incompatible, other) }
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
