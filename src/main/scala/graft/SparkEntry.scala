@@ -8,7 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
-import graft.ops.{Curation, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontaminate, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -561,6 +561,21 @@ object Queries {
     // disagrees. Scale-pinned (Queries.scalePinnedOracles).
     "q_simhash_dedup" -> ((s, dir) =>
       Dedup.simhashPairs(s, Dedup.withPlantedNearDups(docs(s, dir)), maxBucket = 1024)),
+
+    // benchmark decontamination: eval set = the first-12-token "questions"
+    // of every 10th doc (those with >= 8 tokens); corpus = docs ∪ planted
+    // near-dup twins. Twins share the leading 8-grams with their source's
+    // question, so both the source and its twin must flag; output is the
+    // contaminated ids + shared-gram counts (clean docs absent by design —
+    // see Decontaminate.contaminationHits's scale note).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tokens = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val benchmark = d
+        .filter(col("doc_id") % 10 === 0 && size(tokens) >= 8)
+        .select(array_join(slice(tokens, 1, 12), " ").as("text"))
+      Decontaminate.contaminationHits(Dedup.withPlantedNearDups(d), benchmark, n = 8)
+    }),
 
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
@@ -1556,6 +1571,41 @@ object Queries {
         |  FROM incoming GROUP BY md5(text))
         |SELECT content_md5, doc_id FROM batch
         |WHERE content_md5 NOT IN (SELECT content_md5 FROM ledger)""".stripMargin,
+    // exact recompute of the 8-gram contamination counts: benchmark items,
+    // planted twins, per-doc distinct grams and the short-text fallback
+    // all mirror the engine's construction token for token
+    "q_decontaminate" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bench_items AS (
+        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM toksrc
+        |  WHERE doc_id % 10 = 0 AND len(toks) >= 8),
+        |bgrams AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
+        |      ELSE [array_to_string(bt[i:i+7], ' ')
+        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
+        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
+        |                 x -> x <> '') AS bt FROM bench_items))),
+        |planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |dgrams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                      x -> x <> '') AS toks FROM planted))
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |FROM dgrams d JOIN bgrams b USING (gram)
+        |GROUP BY d.doc_id""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

@@ -357,6 +357,32 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] { Dedup.advanceLedgerBloom(incompatible, other) }
   }
 
+  test("decontamination: docs sharing an 8-gram with the benchmark flag; strip removes exactly them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // bench source
+      (2L, "totally different words that never overlap with anything here at all"),
+      (3L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"), // embeds the bench 8-gram
+      (4L, "short text")).toDF("doc_id", "text")
+    val benchmark = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val hits = Decontaminate.contaminationHits(docs, benchmark, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // docs 1 and 3 each share exactly the one benchmark 8-gram; 2 and 4 are clean
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+    val clean = Decontaminate.decontaminate(docs, benchmark, 8)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
+  test("decontamination short-text fallback and normalization: whole-text gram, case/whitespace folded") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny snippet"), (2L, "tiny snippet extra")).toDF("doc_id", "text")
+    val benchmark = Seq("  Tiny   SNIPPET ").toDF("text") // normalizes to "tiny snippet"
+    val hits = Decontaminate.contaminationHits(docs, benchmark, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // both sides are < 8 tokens -> whole-text grams; only doc 1 matches exactly
+    assert(hits == Map(1L -> 1L))
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
