@@ -8,7 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
-import graft.ops.{Curation, Decontaminate, Dedup, DupClusters, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontaminate, Dedup, DupClusters, DupSpans, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -576,6 +576,17 @@ object Queries {
         .select(array_join(slice(tokens, 1, 12), " ").as("text"))
       Decontaminate.contaminationHits(Dedup.withPlantedNearDups(d), benchmark, n = 8)
     }),
+
+    // exact duplicated-substring spans over docs ∪ planted twins: each twin
+    // is its source's prefix, so both carry a maximal span covering that
+    // shared prefix; incidental cross-doc 8-gram repeats surface too
+    "q_dup_spans" -> ((s, dir) =>
+      DupSpans.dupSpans(s, Dedup.withPlantedNearDups(docs(s, dir)), k = 8)),
+
+    // the integer-exact duplicate-fraction quality signal: every doc's
+    // (n_tokens, duplicated-token count), clean docs included with 0
+    "q_dup_span_coverage" -> ((s, dir) =>
+      DupSpans.dupCoverage(s, Dedup.withPlantedNearDups(docs(s, dir)), k = 8)),
 
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
@@ -1606,6 +1617,76 @@ object Queries {
         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
         |FROM dgrams d JOIN bgrams b USING (gram)
         |GROUP BY d.doc_id""".stripMargin,
+    // exact recompute of the duplicated-substring spans: same planted
+    // corpus, 8-gram positions via generate_series, count(*)>=2 over ALL
+    // occurrences (cross-doc and within-doc), then the identical
+    // gaps-and-islands overlap merge (new island when the gap >= k)
+    "q_dup_spans" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |toksrc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM planted),
+        |posn AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        |  FROM toksrc WHERE len(toks) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(max(pos) + 7 AS BIGINT) AS end_tok
+        |FROM islands GROUP BY doc_id, island""".stripMargin,
+    // the coverage signal over the same spans: per-doc duplicated-token
+    // sum left-joined onto every planted doc's token count (clean -> 0)
+    "q_dup_span_coverage" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |toksrc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM planted),
+        |posn AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        |  FROM toksrc WHERE len(toks) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+        |  FROM islands GROUP BY doc_id, island),
+        |per_doc AS (
+        |  SELECT doc_id, sum(end_tok - start_tok + 1) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM toksrc t LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

@@ -32,6 +32,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("dup spans: three shuffles only (gram df, flag-back join, doc window); span merge reuses the window exchange") {
+    val p = plan("q_dup_spans")
+    assert(p.split("Exchange").length - 1 == 3, p)
+  }
+
   test("stratified sampling is a pure narrow filter: zero Exchange") {
     val p = plan("q_stratified_sample")
     assert(!p.contains("Exchange"), p)

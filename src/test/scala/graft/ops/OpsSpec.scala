@@ -383,6 +383,32 @@ class OpsSpec extends AnyFunSuite {
     assert(hits == Map(1L -> 1L))
   }
 
+  test("dup spans: overlapping duplicated k-windows merge; k-apart windows stay separate spans") {
+    import spark.implicits._
+    // k=3; docs 1 and 2 share "a b c d" -> grams (a b c),(b c d) at doc-1
+    // positions 2,3 overlap -> one span [2,5]; doc 3 repeats "x y z" twice
+    // within itself at positions 0 and 4 (gap 4 >= k) -> two 1-window spans
+    val docs = Seq(
+      (1L, "p q a b c d r s"),
+      (2L, "a b c d"),
+      (3L, "x y z w x y z")).toDF("doc_id", "text")
+    val spans = DupSpans.dupSpans(spark, docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 2L, 5L), (2L, 0L, 3L), (3L, 0L, 2L), (3L, 4L, 6L)))
+  }
+
+  test("dup spans: docs shorter than k emit nothing; coverage reports zero for clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), // shorter than k: can never span
+      (2L, "one two three four five"),
+      (3L, "one two three four six")).toDF("doc_id", "text")
+    val cov = DupSpans.dupCoverage(spark, docs, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // docs 2,3 share grams (one two three),(two three four) -> span [0,3]
+    assert(cov == Map(1L -> ((2L, 0L)), 2L -> ((5L, 4L)), 3L -> ((5L, 4L))))
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
