@@ -8,7 +8,7 @@ import graft.pages.SyntheticPages
 import graft.pipeline.ExtractJob
 import graft.merge.{MergeConfig, MergeJob, RunDoc}
 import graft.stats.Stats
-import graft.ops.{Curation, Decontaminate, Dedup, DupClusters, DupSpans, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Decontaminate, Dedup, DupClusters, DupSpans, LineDedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -587,6 +587,25 @@ object Queries {
     // (n_tokens, duplicated-token count), clean docs included with 0
     "q_dup_span_coverage" -> ((s, dir) =>
       DupSpans.dupCoverage(s, Dedup.withPlantedNearDups(docs(s, dir)), k = 8)),
+
+    // repeated-line strip: each doc split at its token midpoint into two
+    // lines; every 5th doc gets a boilerplate banner line prepended (every
+    // 10th in Title Case — same normalized form, so the whole family
+    // strips); output is the full rebuilt text per doc
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val half = floor(size(toks) / 2).cast("int")
+      val base = concat_ws("\n",
+        array_join(slice(toks, lit(1), half), " "),
+        array_join(slice(toks, half + 1, size(toks) - half), " "))
+      val lined = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("Subscribe To Our Newsletter Today\n"), base))
+          .when(col("doc_id") % 5 === 0,
+            concat(lit("subscribe to our newsletter today\n"), base))
+          .otherwise(base).as("text"))
+      LineDedup.stripRepeatedLines(lined, minDf = 2)
+    }),
 
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
@@ -1687,6 +1706,36 @@ object Queries {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
         |FROM toksrc t LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    // exact recompute of the repeated-line strip: identical midpoint-split
+    // + banner planting, normalized (trim+lower) line frequency >= 2, and
+    // ordered reassembly of the surviving original lines
+    "q_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |           THEN 'Subscribe To Our Newsletter Today' || chr(10) || base
+        |         WHEN doc_id % 5 = 0
+        |           THEN 'subscribe to our newsletter today' || chr(10) || base
+        |         ELSE base END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      array_to_string(l[1:len(l)//2], ' ') || chr(10) ||
+        |      array_to_string(l[len(l)//2+1:len(l)], ' ') AS base
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))),
+        |lrow AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx, ls
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)),
+        |lx AS (SELECT doc_id, idx, ls[idx] AS line FROM lrow),
+        |rep AS (
+        |  SELECT lower(trim(line)) AS nl FROM lx
+        |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM lx
+        |  WHERE lower(trim(line)) NOT IN (SELECT nl FROM rep))
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM lined d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC

@@ -409,6 +409,36 @@ class OpsSpec extends AnyFunSuite {
     assert(cov == Map(1L -> ((2L, 0L)), 2L -> ((5L, 4L)), 3L -> ((5L, 4L))))
   }
 
+  test("line dedup: repeated lines strip everywhere (normalized match), unique lines survive in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha line\nSubscribe NOW\ntail one"),
+      (2L, "subscribe   now\nunique beta line"), // normalizes to the same banner? (extra spaces differ)
+      (3L, "  subscribe now \nunique gamma line"), // trim+lower == doc 4's banner
+      (4L, "Subscribe Now\nunique delta line")).toDF("doc_id", "text")
+    val out = LineDedup.stripRepeatedLines(docs, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // "subscribe now" (trim+lower) appears in docs 1,3,4 -> stripped there;
+    // doc 2's "subscribe   now" has inner double spaces: a DIFFERENT
+    // normalized line (df=1) -> kept
+    assert(out == Map(
+      1L -> "unique alpha line\ntail one",
+      2L -> "subscribe   now\nunique beta line",
+      3L -> "unique gamma line",
+      4L -> "unique delta line"))
+  }
+
+  test("line dedup: a doc made entirely of boilerplate comes back with empty text, row retained") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "footer line"),
+      (2L, "footer line"),
+      (3L, "real content here")).toDF("doc_id", "text")
+    val out = LineDedup.stripRepeatedLines(docs, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "", 2L -> "", 3L -> "real content here"))
+  }
+
   test("incremental dedup rows variant returns the full accepted rows") {
     import spark.implicits._
     val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
