@@ -574,7 +574,7 @@ object Queries {
       val benchmark = d
         .filter(col("doc_id") % 10 === 0 && size(tokens) >= 8)
         .select(array_join(slice(tokens, 1, 12), " ").as("text"))
-      Decontaminate.contaminationHits(Dedup.withPlantedNearDups(d), benchmark, n = 8)
+      Decontaminate.contaminationHits(s, Dedup.withPlantedNearDups(d), benchmark, n = 8)
     }),
 
     // exact duplicated-substring spans over docs ∪ planted twins: each twin

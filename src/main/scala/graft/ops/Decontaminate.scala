@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data hygiene pass every LLM
@@ -37,9 +37,15 @@ object Decontaminate {
     * flag column would force a doc_id shuffle for a 99.9%-zero column;
     * derive it downstream with the anti-join instead).
     */
-  def contaminationHits(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+  def contaminationHits(spark: SparkSession, docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    // benchmark side: tiny (items are sentence-length), the Column path is
+    // fine; corpus side: [[Dedup.shingleRows]]'s single typed pass — the
+    // Column n-gram HOF re-evaluates the tokenize chain per gram position
+    // (the documented Catalyst re-evaluation trap), which is O(tokens²)
+    // per document and must never run on the billion-doc side
     val bench = benchmark.select(explode(grams(col("text"), n)).as("gram")).distinct()
-    docs.select(col("doc_id"), explode(grams(col("text"), n)).as("gram"))
+    Dedup.shingleRows(spark, docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
@@ -49,8 +55,8 @@ object Decontaminate {
     * pathological benchmark contaminating a large corpus fraction, drop
     * the hint and let the planner pick a shuffle join.
     */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
+  def decontaminate(spark: SparkSession, docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
     docs.join(
-      broadcast(contaminationHits(docs, benchmark, n).select(col("doc_id"))),
+      broadcast(contaminationHits(spark, docs, benchmark, n).select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
 }

@@ -364,7 +364,9 @@ object Dedup {
       lb: LedgerBloom): DataFrame = {
     val spark = incoming.sparkSession
     val bc = spark.sparkContext.broadcast(lb.filter)
-    val might = udf((h: String) => bc.value.mightContainString(h))
+    // null-safe: a null digest (null text) is "definitely new", matching
+    // the exact path where a null key never matches the anti-join
+    val might = udf((h: String) => h != null && bc.value.mightContainString(h))
     val inBatchKeep = incoming
       .withColumn("content_md5", md5(col("text")))
       .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))

@@ -340,6 +340,18 @@ class OpsSpec extends AnyFunSuite {
     assert(keys(Dedup.incrementalExactDedupBloom(next, ledger2, lb2)).map(_._2) == Set(5001L))
   }
 
+  test("bloom-pruned incremental dedup accepts a null-text row exactly like the exact path") {
+    import spark.implicits._
+    val ledger = Seq("known text").toDF("text").select(md5(col("text")).as("content_md5"))
+    val batch = Seq((1L, "known text"), (2L, null: String), (3L, "fresh")).toDF("doc_id", "text")
+    val lb = Dedup.ledgerBloom(ledger, expectedItems = 10, fpp = 0.1)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(1)).toSet
+    // null md5 never matches the ledger anti-join on the exact path; the
+    // bloom membership UDF must route it the same way, not NPE the task
+    assert(ids(Dedup.incrementalExactDedupBloom(batch, ledger, lb)) ==
+      ids(Dedup.incrementalExactDedup(batch, ledger)))
+  }
+
   test("bloom ledger: no false negatives; incompatible advance parameters fail loudly") {
     import spark.implicits._
     val ledger = (0 until 500).map(i => s"doc $i").toDF("text")
@@ -365,11 +377,11 @@ class OpsSpec extends AnyFunSuite {
       (3L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"), // embeds the bench 8-gram
       (4L, "short text")).toDF("doc_id", "text")
     val benchmark = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
-    val hits = Decontaminate.contaminationHits(docs, benchmark, 8)
+    val hits = Decontaminate.contaminationHits(spark, docs, benchmark, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // docs 1 and 3 each share exactly the one benchmark 8-gram; 2 and 4 are clean
     assert(hits == Map(1L -> 1L, 3L -> 1L))
-    val clean = Decontaminate.decontaminate(docs, benchmark, 8)
+    val clean = Decontaminate.decontaminate(spark, docs, benchmark, 8)
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
   }
 
@@ -377,7 +389,7 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1L, "tiny snippet"), (2L, "tiny snippet extra")).toDF("doc_id", "text")
     val benchmark = Seq("  Tiny   SNIPPET ").toDF("text") // normalizes to "tiny snippet"
-    val hits = Decontaminate.contaminationHits(docs, benchmark, 8)
+    val hits = Decontaminate.contaminationHits(spark, docs, benchmark, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // both sides are < 8 tokens -> whole-text grams; only doc 1 matches exactly
     assert(hits == Map(1L -> 1L))
