@@ -607,6 +607,26 @@ object Queries {
       LineDedup.stripRepeatedLines(lined, minDf = 2)
     }),
 
+    // composed hygiene chain (the order a real curation pass runs): span
+    // coverage gates out docs that are >50% duplicated substrings (every
+    // planted source+twin), then decontamination anti-joins away docs
+    // sharing an 8-gram with the benchmark; output is the surviving docs'
+    // (doc_id, n_tokens) — each stage reuses an independently-oracled op
+    "q_span_decontam_chain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = Dedup.withPlantedNearDups(d)
+      val kept = DupSpans.dupCoverage(s, planted, k = 8)
+        .filter(col("dup_tokens") * 2 <= col("n_tokens"))
+      val tokens = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val benchmark = d
+        .filter(col("doc_id") % 10 === 0 && size(tokens) >= 8)
+        .select(array_join(slice(tokens, 1, 12), " ").as("text"))
+      val hits = Decontaminate.contaminationHits(s, planted, benchmark, n = 8)
+        .select(col("doc_id"))
+      kept.join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -1706,6 +1726,70 @@ object Queries {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
         |FROM toksrc t LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    // the composed chain: coverage CTEs (q_dup_span_coverage) gate on
+    // 2*dup_tokens <= n_tokens, then the decontamination CTEs
+    // (q_decontaminate) remove benchmark-overlapping docs
+    "q_span_decontam_chain" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |toksrc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM planted),
+        |posn AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        |  FROM toksrc WHERE len(toks) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+        |  FROM islands GROUP BY doc_id, island),
+        |per_doc AS (
+        |  SELECT doc_id, sum(end_tok - start_tok + 1) AS dup_tokens
+        |  FROM spans GROUP BY doc_id),
+        |coverage AS (
+        |  SELECT t.doc_id, len(t.toks) AS n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens
+        |  FROM toksrc t LEFT JOIN per_doc p USING (doc_id)),
+        |btoksrc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bench_items AS (
+        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM btoksrc
+        |  WHERE doc_id % 10 = 0 AND len(toks) >= 8),
+        |bgrams AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
+        |      ELSE [array_to_string(bt[i:i+7], ' ')
+        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
+        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
+        |                 x -> x <> '') AS bt FROM bench_items))),
+        |dgrams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
+        |  FROM toksrc),
+        |chits AS (
+        |  SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))
+        |SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens
+        |FROM coverage c
+        |WHERE 2 * c.dup_tokens <= c.n_tokens
+        |  AND c.doc_id NOT IN (SELECT doc_id FROM chits)""".stripMargin,
     // exact recompute of the repeated-line strip: identical midpoint-split
     // + banner planting, normalized (trim+lower) line frequency >= 2, and
     // ordered reassembly of the surviving original lines
