@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Decontaminate, DupSpans, LineDedup}
+
+/** spark-submit entrypoint for the corpus-curation pipeline — the
+  * training-data hygiene chain composed from the independently-oracled
+  * operators, in the order the published recipes run them:
+  *
+  *  1. repeated-line strip ([[graft.ops.LineDedup]]) — boilerplate lines
+  *     removed, text rebuilt; fully-boilerplate docs dropped;
+  *  2. quality + repetition gates and exact dedup ([[graft.ops.Curation]]);
+  *  3. duplicated-substring coverage gate ([[graft.ops.DupSpans]]) — docs
+  *     over `--max-dup-permille` duplicated tokens dropped;
+  *  4. benchmark decontamination ([[graft.ops.Decontaminate]]) when
+  *     `--benchmark` is given.
+  *
+  * {{{
+  * spark-submit --class graft.CurateMain graft.jar \
+  *   --input  /data/documents       # parquet: (doc_id, text, ...extras ok)
+  *   --out    /data/curated_run     # output root (curated/ parquet)
+  *   [--benchmark /data/eval_items] # parquet with a `text` column
+  *   [--gram-k 8]                   # n-gram size for span gate + decontam
+  *   [--line-min-df 2]              # line df threshold for the strip
+  *   [--max-dup-permille 500]       # span-coverage gate (dup_tokens/n_tokens)
+  *   [--skip-line-dedup] [--skip-span-gate]
+  * }}}
+  *
+  * Scale shape: every gate runs on a SCALAR stream — the quality/dedup,
+  * span-coverage and contamination stages each reduce to a (doc_id) keep
+  * or drop set, those sets intersect as 8-byte-row joins, and the corpus
+  * text joins the final keep set exactly once (left semi). The line strip
+  * transforms text in place (its own digests shuffle, not the text), so
+  * document text crosses the wire at most twice end to end regardless of
+  * how many gates are enabled. Per-stage counts in the final stats line
+  * cost one scalar job each.
+  *
+  * Cluster topology belongs to spark-submit flags, not this code; the
+  * session is `getOrCreate()` with no master override.
+  *
+  * Exit code 0 and one final JSON line on stdout:
+  * `{"input_docs":N,"after_line_strip":L,"kept_quality":Q,"kept_span_gate":S,"contaminated":C,"output_docs":O,"wall_sec":W}`.
+  */
+object CurateMain {
+
+  final case class Args(
+      input: Option[String] = None,
+      out: Option[String] = None,
+      benchmark: Option[String] = None,
+      gramK: Int = 8,
+      lineMinDf: Long = 2L,
+      maxDupPermille: Int = 500,
+      skipLineDedup: Boolean = false,
+      skipSpanGate: Boolean = false)
+
+  final case class Stats(
+      inputDocs: Long,
+      afterLineStrip: Long,
+      keptQuality: Long,
+      keptSpanGate: Long,
+      contaminated: Long,
+      outputDocs: Long)
+
+  def parse(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil => acc
+    case "--input" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
+    case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
+    case "--benchmark" :: v :: rest => parse(rest, acc.copy(benchmark = Some(v)))
+    case "--gram-k" :: v :: rest => parse(rest, acc.copy(gramK = positiveInt("--gram-k", v)))
+    case "--line-min-df" :: v :: rest =>
+      val d = positiveInt("--line-min-df", v)
+      if (d < 2) throw new IllegalArgumentException(
+        s"--line-min-df below 2 would strip every line (df >= 1 always); got: $v")
+      parse(rest, acc.copy(lineMinDf = d.toLong))
+    case "--max-dup-permille" :: v :: rest =>
+      val p = positiveInt("--max-dup-permille", v)
+      if (p > 1000) throw new IllegalArgumentException(
+        s"--max-dup-permille is a fraction of 1000, got: $v")
+      parse(rest, acc.copy(maxDupPermille = p))
+    case "--skip-line-dedup" :: rest => parse(rest, acc.copy(skipLineDedup = true))
+    case "--skip-span-gate" :: rest => parse(rest, acc.copy(skipSpanGate = true))
+    case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+  }
+
+  private def positiveInt(flag: String, v: String): Int = {
+    val n = try v.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$flag expects a positive integer, got: $v")
+    }
+    if (n <= 0) throw new IllegalArgumentException(s"$flag must be positive, got: $v")
+    n
+  }
+
+  /** The pipeline itself, IO-free for testability: returns the curated
+    * (doc_id, text) frame plus per-stage counts. `benchmark` needs a
+    * `text` column.
+    */
+  def run(spark: SparkSession, docs: DataFrame, benchmark: Option[DataFrame],
+      args: Args): (DataFrame, Stats) = {
+    val input = docs.select(col("doc_id"), col("text"))
+    // the stripped corpus feeds every gate plus the final join — persist it
+    // so the line-dedup shuffle runs once, not once per consumer
+    // (MEMORY_AND_DISK: at corpus scale the text spills rather than OOMs;
+    // a multi-job production pipeline would write it as an intermediate
+    // table instead). The block stays cached so the returned frame's write
+    // reuses it too; it is freed with the session — a long-lived session
+    // embedding this call should unpersist via spark.catalog.clearCache().
+    val lined =
+      if (args.skipLineDedup) input
+      else LineDedup.stripRepeatedLines(input, args.lineMinDf).filter(col("text") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // every gate is a scalar (doc_id) stream; text joins once at the end
+    val keepQuality = Curation.curate(spark, lined).select(col("doc_id"))
+    val keepSpan =
+      if (args.skipSpanGate) None
+      else Some(DupSpans.dupCoverage(spark, lined, args.gramK)
+        .filter(col("dup_tokens") * 1000 <= col("n_tokens") * args.maxDupPermille)
+        .select(col("doc_id")))
+    val dropContam = benchmark.map(b =>
+      Decontaminate.contaminationHits(spark, lined, b, args.gramK).select(col("doc_id")))
+
+    val keep = dropContam.foldLeft(
+      keepSpan.foldLeft(keepQuality)((k, s) => k.join(s, Seq("doc_id"))))(
+      (k, d) => k.join(d, Seq("doc_id"), "left_anti"))
+    val out = lined.join(keep, Seq("doc_id"), "left_semi")
+
+    val stats = Stats(
+      inputDocs = input.count(),
+      afterLineStrip = if (args.skipLineDedup) -1L else lined.count(),
+      keptQuality = keepQuality.count(),
+      keptSpanGate = keepSpan.map(_.count()).getOrElse(-1L),
+      contaminated = dropContam.map(_.count()).getOrElse(0L),
+      outputDocs = out.count())
+    (out, stats)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList)
+    val input = args.input.getOrElse(throw new IllegalArgumentException("--input is required"))
+    val out = args.out.getOrElse(throw new IllegalArgumentException("--out is required"))
+
+    val spark = SparkSession.builder().appName("graft-curate").getOrCreate()
+    // by-name projection: tolerate extra columns, fail fast on missing
+    val docs = spark.read.parquet(input).select("doc_id", "text")
+    val bench = args.benchmark.map(p => spark.read.parquet(p).select("text"))
+
+    val t0 = System.nanoTime()
+    val (curated, stats) = run(spark, docs, bench, args)
+    curated.write.mode("overwrite").parquet(s"$out/curated")
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // Locale.ROOT: comma-decimal cluster locales would emit invalid JSON
+    val wallStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wallSec))
+    println(
+      s"""{"input_docs":${stats.inputDocs},"after_line_strip":${stats.afterLineStrip},"kept_quality":${stats.keptQuality},"kept_span_gate":${stats.keptSpanGate},"contaminated":${stats.contaminated},"output_docs":${stats.outputDocs},"wall_sec":$wallStr}""")
+    spark.stop()
+  }
+}
