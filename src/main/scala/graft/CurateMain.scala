@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Cli
 import graft.ops.{Curation, Decontaminate, DupSpans, LineDedup}
 
 /** spark-submit entrypoint for the corpus-curation pipeline — the
@@ -40,7 +41,10 @@ import graft.ops.{Curation, Decontaminate, DupSpans, LineDedup}
   * session is `getOrCreate()` with no master override.
   *
   * Exit code 0 and one final JSON line on stdout:
-  * `{"input_docs":N,"after_line_strip":L,"kept_quality":Q,"kept_span_gate":S,"contaminated":C,"output_docs":O,"wall_sec":W}`.
+  * `{"input_docs":N,"after_line_strip":L,"kept_quality":Q,"kept_span_gate":S,"contaminated":C,"output_docs":O,"wall_sec":W}`
+  * — a skipped stage reports -1 (never conflated with a stage that ran and
+  * matched zero docs); null-text rows are dropped at intake and excluded
+  * from input_docs.
   */
 object CurateMain {
 
@@ -62,34 +66,31 @@ object CurateMain {
       contaminated: Long,
       outputDocs: Long)
 
+  private val valueFlags = Set(
+    "--input", "--out", "--benchmark", "--gram-k", "--line-min-df", "--max-dup-permille")
+
   def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
     case "--input" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
     case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
     case "--benchmark" :: v :: rest => parse(rest, acc.copy(benchmark = Some(v)))
-    case "--gram-k" :: v :: rest => parse(rest, acc.copy(gramK = positiveInt("--gram-k", v)))
+    case "--gram-k" :: v :: rest =>
+      parse(rest, acc.copy(gramK = Cli.positiveInt("--gram-k", v)))
     case "--line-min-df" :: v :: rest =>
-      val d = positiveInt("--line-min-df", v)
+      val d = Cli.positiveInt("--line-min-df", v)
       if (d < 2) throw new IllegalArgumentException(
         s"--line-min-df below 2 would strip every line (df >= 1 always); got: $v")
       parse(rest, acc.copy(lineMinDf = d.toLong))
     case "--max-dup-permille" :: v :: rest =>
-      val p = positiveInt("--max-dup-permille", v)
+      val p = Cli.positiveInt("--max-dup-permille", v)
       if (p > 1000) throw new IllegalArgumentException(
         s"--max-dup-permille is a fraction of 1000, got: $v")
       parse(rest, acc.copy(maxDupPermille = p))
     case "--skip-line-dedup" :: rest => parse(rest, acc.copy(skipLineDedup = true))
     case "--skip-span-gate" :: rest => parse(rest, acc.copy(skipSpanGate = true))
+    case flag :: Nil if valueFlags(flag) =>
+      throw new IllegalArgumentException(s"$flag requires a value")
     case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
-  }
-
-  private def positiveInt(flag: String, v: String): Int = {
-    val n = try v.toInt catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"$flag expects a positive integer, got: $v")
-    }
-    if (n <= 0) throw new IllegalArgumentException(s"$flag must be positive, got: $v")
-    n
   }
 
   /** The pipeline itself, IO-free for testability: returns the curated
@@ -98,7 +99,10 @@ object CurateMain {
     */
   def run(spark: SparkSession, docs: DataFrame, benchmark: Option[DataFrame],
       args: Args): (DataFrame, Stats) = {
-    val input = docs.select(col("doc_id"), col("text"))
+    // null text is dropped at intake (counted out of input_docs) so both
+    // the skip-line-dedup path (typed signal pass would NPE) and the strip
+    // path (posexplode drops the row silently) see the same corpus
+    val input = docs.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
     // the stripped corpus feeds every gate plus the final join — persist it
     // so the line-dedup shuffle runs once, not once per consumer
     // (MEMORY_AND_DISK: at corpus scale the text spills rather than OOMs;
@@ -111,27 +115,34 @@ object CurateMain {
       else LineDedup.stripRepeatedLines(input, args.lineMinDf).filter(col("text") =!= "")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // every gate is a scalar (doc_id) stream; text joins once at the end
-    val keepQuality = Curation.curate(spark, lined).select(col("doc_id"))
+    // every gate is a scalar (doc_id) stream; text joins once at the end.
+    // Each gate frame is persisted (8-byte rows) so its subtree executes
+    // exactly once — serving both its stat count and the keep-set joins —
+    // instead of re-running the span/decontamination shuffles per consumer
+    def cached(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepQuality = cached(Curation.curate(spark, lined).select(col("doc_id")))
     val keepSpan =
       if (args.skipSpanGate) None
-      else Some(DupSpans.dupCoverage(spark, lined, args.gramK)
+      else Some(cached(DupSpans.dupCoverage(spark, lined, args.gramK)
         .filter(col("dup_tokens") * 1000 <= col("n_tokens") * args.maxDupPermille)
-        .select(col("doc_id")))
+        .select(col("doc_id"))))
     val dropContam = benchmark.map(b =>
-      Decontaminate.contaminationHits(spark, lined, b, args.gramK).select(col("doc_id")))
+      cached(Decontaminate.contaminationHits(spark, lined, b, args.gramK)
+        .select(col("doc_id"))))
 
     val keep = dropContam.foldLeft(
       keepSpan.foldLeft(keepQuality)((k, s) => k.join(s, Seq("doc_id"))))(
       (k, d) => k.join(d, Seq("doc_id"), "left_anti"))
     val out = lined.join(keep, Seq("doc_id"), "left_semi")
 
+    // -1 = stage skipped (vs a legitimate 0 from a stage that ran)
     val stats = Stats(
       inputDocs = input.count(),
       afterLineStrip = if (args.skipLineDedup) -1L else lined.count(),
       keptQuality = keepQuality.count(),
       keptSpanGate = keepSpan.map(_.count()).getOrElse(-1L),
-      contaminated = dropContam.map(_.count()).getOrElse(0L),
+      contaminated = dropContam.map(_.count()).getOrElse(-1L),
       outputDocs = out.count())
     (out, stats)
   }
@@ -149,9 +160,7 @@ object CurateMain {
     val t0 = System.nanoTime()
     val (curated, stats) = run(spark, docs, bench, args)
     curated.write.mode("overwrite").parquet(s"$out/curated")
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    // Locale.ROOT: comma-decimal cluster locales would emit invalid JSON
-    val wallStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wallSec))
+    val wallStr = Cli.jsonNum((System.nanoTime() - t0) / 1e9)
     println(
       s"""{"input_docs":${stats.inputDocs},"after_line_strip":${stats.afterLineStrip},"kept_quality":${stats.keptQuality},"kept_span_gate":${stats.keptSpanGate},"contaminated":${stats.contaminated},"output_docs":${stats.outputDocs},"wall_sec":$wallStr}""")
     spark.stop()

@@ -37,20 +37,19 @@ object ExtractMain {
       resume: Boolean = true,
       acceptStaleVersions: Boolean = false)
 
+  private val valueFlags = Set("--input", "--synthetic", "--out", "--buckets")
+
   def parse(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
     case "--input" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
     case "--synthetic" :: v :: rest => parse(rest, acc.copy(synthetic = Some(v)))
     case "--out" :: v :: rest => parse(rest, acc.copy(out = Some(v)))
     case "--buckets" :: v :: rest =>
-      val b = try v.toInt catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"--buckets expects a positive integer, got: $v")
-      }
-      if (b <= 0) throw new IllegalArgumentException(s"--buckets must be positive, got: $v")
-      parse(rest, acc.copy(buckets = b))
+      parse(rest, acc.copy(buckets = graft.core.Cli.positiveInt("--buckets", v)))
     case "--no-resume" :: rest => parse(rest, acc.copy(resume = false))
     case "--accept-stale-versions" :: rest => parse(rest, acc.copy(acceptStaleVersions = true))
+    case flag :: Nil if valueFlags(flag) =>
+      throw new IllegalArgumentException(s"$flag requires a value")
     case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
   }
 
@@ -110,12 +109,8 @@ object ExtractMain {
       acceptStaleVersions = args.acceptStaleVersions)
     val t0 = System.nanoTime()
     val stats = ExtractJob.run(spark, pages, out, cfg)
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    // one machine-readable line, last on stdout (logs go to stderr).
-    // Locale.ROOT: the f-interpolator formats via the JVM default locale,
-    // which on a comma-decimal cluster image (de_DE, fr_FR) would emit
-    // "wall_sec":4,283 — invalid JSON.
-    val wallStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wallSec))
+    // one machine-readable line, last on stdout (logs go to stderr)
+    val wallStr = graft.core.Cli.jsonNum((System.nanoTime() - t0) / 1e9)
     println(
       s"""{"pages_processed":${stats.pagesProcessed},"buckets_skipped":${stats.bucketsSkipped},"buckets_planned":${stats.bucketsPlanned},"wall_sec":$wallStr}""")
     spark.stop()

@@ -24,6 +24,32 @@ class CurateMainSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       CurateMain.parse(List("--max-dup-permille", "1500")))
     assertThrows[IllegalArgumentException](CurateMain.parse(List("--gram-k", "0")))
+    // a trailing flag with its value forgotten names the flag, not "unknown"
+    val e = intercept[IllegalArgumentException](
+      CurateMain.parse(List("--input", "/d", "--out")))
+    assert(e.getMessage.contains("--out requires a value"))
+    val e2 = intercept[IllegalArgumentException](
+      ExtractMain.parse(List("--out", "/d", "--buckets")))
+    assert(e2.getMessage.contains("--buckets requires a value"))
+  }
+
+  test("null-text rows are dropped at intake on BOTH paths, not NPE'd or silently forked") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "real words in this document body here"),
+      Row(2L, null),
+      Row(3L, "other real words forming a second document"))
+    val df = spark.createDataFrame(rows, schema)
+    val (outA, sA) = CurateMain.run(spark, df, None,
+      CurateMain.Args(skipLineDedup = true, skipSpanGate = true))
+    val (outB, sB) = CurateMain.run(spark, df, None,
+      CurateMain.Args(skipSpanGate = true))
+    assert(sA.inputDocs == 2 && sB.inputDocs == 2)
+    assert(outA.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      outB.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("pipeline: gates compose — banner lines stripped, near-dup family span-gated, benchmark overlap dropped") {
@@ -76,7 +102,9 @@ class CurateMainSpec extends AnyFunSuite {
     val corpus = docs.select(col("doc_id"), col("text"))
     val args = CurateMain.Args(skipLineDedup = true, skipSpanGate = true)
     val (out1, s1) = CurateMain.run(spark, corpus, None, args)
-    assert(s1.afterLineStrip == -1L && s1.keptSpanGate == -1L && s1.contaminated == 0L)
+    // -1 = stage skipped (incl. decontamination with no --benchmark), so a
+    // consumer can tell "never ran" from "ran and matched zero"
+    assert(s1.afterLineStrip == -1L && s1.keptSpanGate == -1L && s1.contaminated == -1L)
     // with no planted dups, quality+dedup is the only gate
     assert(s1.outputDocs == s1.keptQuality)
     val (out2, s2) = CurateMain.run(spark, corpus, None, args)
