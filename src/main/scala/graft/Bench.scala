@@ -75,8 +75,9 @@ object Bench {
     val times = (1 to reps).map(_ => time(extractDf.count()))
     System.err.println(s"[bench] extract rep times (exec order): ${times.map(t => f"$t%.2f").mkString(", ")}")
 
-    // representative operator timings (count() forces full computation);
-    // SPARK_GRAFT_BENCH_MODE=extract skips them (scaling-study mode)
+    // representative operator timings (forced via toRdd below — every
+    // output row materializes); SPARK_GRAFT_BENCH_MODE=extract skips them
+    // (scaling-study mode)
     val extractOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")
     // q_minhash_verify_exact is deliberately absent: the brute-force
     // all-pairs verify is a correctness oracle, quadratic by design
@@ -92,7 +93,7 @@ object Bench {
       "q_stratified_sample", "q_token_budget_cap", "q_token_freq_quality",
       "q_pii_redact", "q_chunk_windows", "q_ivf_cell_stats", "q_multimodal_resize",
       "q_exact_dedup_md5", "q_dedup_incremental", "q_dedup_incremental_bloom",
-      "q_decontaminate", "q_dup_spans", "q_dup_span_coverage", "q_span_decontam_chain",
+      "q_decontaminate", "q_dup_spans", "q_dup_span_coverage", "q_span_decontam_chain", "q_curate_replay",
       "q_line_dedup", "q_minhash_dedup", "q_simhash_dedup",
       "q_cosine_near_dup", "q_ann_topk", "q_ann_ivf", "q_multimodal_meta",
       "q_multimodal_ppm")

@@ -95,32 +95,33 @@ object CurateMain {
 
   /** The pipeline itself, IO-free for testability: returns the curated
     * (doc_id, text) frame plus per-stage counts. `benchmark` needs a
-    * `text` column.
+    * `text` column. With `computeStats = false` the call is construction-
+    * pure — no Spark jobs, no persists, all stats -1 — so the chain can be
+    * registered as a lazily-built query (the driver's oracle replay).
     */
   def run(spark: SparkSession, docs: DataFrame, benchmark: Option[DataFrame],
-      args: Args): (DataFrame, Stats) = {
+      args: Args, computeStats: Boolean = true): (DataFrame, Stats) = {
     // null text is dropped at intake (counted out of input_docs) so both
     // the skip-line-dedup path (typed signal pass would NPE) and the strip
     // path (posexplode drops the row silently) see the same corpus
     val input = docs.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
-    // the stripped corpus feeds every gate plus the final join — persist it
-    // so the line-dedup shuffle runs once, not once per consumer
-    // (MEMORY_AND_DISK: at corpus scale the text spills rather than OOMs;
-    // a multi-job production pipeline would write it as an intermediate
-    // table instead). The block stays cached so the returned frame's write
-    // reuses it too; it is freed with the session — a long-lived session
-    // embedding this call should unpersist via spark.catalog.clearCache().
+    // every gate is a scalar (doc_id) stream; text joins once at the end.
+    // Each gate frame (and the stripped corpus feeding them all) is
+    // persisted so its subtree executes exactly once — serving both its
+    // stat count and the keep-set joins — instead of re-running the
+    // strip/span/decontamination shuffles per consumer. MEMORY_AND_DISK:
+    // at corpus scale the text spills rather than OOMs (a multi-job
+    // production pipeline would write the stripped corpus as an
+    // intermediate table instead); blocks are freed with the session — a
+    // long-lived session embedding this call should unpersist via
+    // spark.catalog.clearCache().
+    def cached(df: DataFrame): DataFrame =
+      if (computeStats) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val lined =
       if (args.skipLineDedup) input
-      else LineDedup.stripRepeatedLines(input, args.lineMinDf).filter(col("text") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // every gate is a scalar (doc_id) stream; text joins once at the end.
-    // Each gate frame is persisted (8-byte rows) so its subtree executes
-    // exactly once — serving both its stat count and the keep-set joins —
-    // instead of re-running the span/decontamination shuffles per consumer
-    def cached(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cached(LineDedup.stripRepeatedLines(input, args.lineMinDf)
+        .filter(col("text") =!= ""))
     val keepQuality = cached(Curation.curate(spark, lined).select(col("doc_id")))
     val keepSpan =
       if (args.skipSpanGate) None
@@ -137,13 +138,15 @@ object CurateMain {
     val out = lined.join(keep, Seq("doc_id"), "left_semi")
 
     // -1 = stage skipped (vs a legitimate 0 from a stage that ran)
-    val stats = Stats(
-      inputDocs = input.count(),
-      afterLineStrip = if (args.skipLineDedup) -1L else lined.count(),
-      keptQuality = keepQuality.count(),
-      keptSpanGate = keepSpan.map(_.count()).getOrElse(-1L),
-      contaminated = dropContam.map(_.count()).getOrElse(-1L),
-      outputDocs = out.count())
+    val stats =
+      if (!computeStats) Stats(-1L, -1L, -1L, -1L, -1L, -1L)
+      else Stats(
+        inputDocs = input.count(),
+        afterLineStrip = if (args.skipLineDedup) -1L else lined.count(),
+        keptQuality = keepQuality.count(),
+        keptSpanGate = keepSpan.map(_.count()).getOrElse(-1L),
+        contaminated = dropContam.map(_.count()).getOrElse(-1L),
+        outputDocs = out.count())
     (out, stats)
   }
 

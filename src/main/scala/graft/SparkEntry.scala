@@ -627,6 +627,30 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    // the FLAGSHIP pipeline entrypoint replayed as a lazily-built query:
+    // CurateMain.run (computeStats=false → construction-pure) over a
+    // corpus exercising all four stages — banner lines (strip), planted
+    // prefix twins (span gate), %7==3 question prefixes (decontamination),
+    // quality/dedup on whatever survives. Output = the curated corpus
+    // itself, full text strings hash-compared against the DuckDB replay
+    "q_curate_replay" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toksSp = split(col("text"), " ")
+      val half = floor(size(toksSp) / 2).cast("int")
+      val base = concat_ws("\n",
+        array_join(slice(toksSp, lit(1), half), " "),
+        array_join(slice(toksSp, half + 1, size(toksSp) - half), " "))
+      val lined = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("subscribe to our newsletter today\n"), base))
+          .otherwise(base).as("text"))
+      val corpus = Dedup.withPlantedNearDups(lined)
+      val qtoks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val benchmark = d.filter(col("doc_id") % 7 === 3 && size(qtoks) >= 8)
+        .select(array_join(slice(qtoks, 1, 12), " ").as("text"))
+      CurateMain.run(s, corpus, Some(benchmark), CurateMain.Args(), computeStats = false)._1
+    }),
+
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -1790,6 +1814,116 @@ object Queries {
         |FROM coverage c
         |WHERE 2 * c.dup_tokens <= c.n_tokens
         |  AND c.doc_id NOT IN (SELECT doc_id FROM chits)""".stripMargin,
+    // full replay of CurateMain.run: line strip (q_line_dedup CTEs) →
+    // quality/repetition/exact-dedup (q_curation_pipeline CTEs, over the
+    // STRIPPED text) → span-coverage gate (q_dup_span CTEs, k=8, 500‰) →
+    // decontamination (q_decontaminate CTEs, benchmark = %7==3 prefixes)
+    "q_curate_replay" ->
+      """WITH linedbase AS (
+        |  SELECT doc_id,
+        |    array_to_string(l[1:len(l)//2], ' ') || chr(10) ||
+        |    array_to_string(l[len(l)//2+1:len(l)], ' ') AS base
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |lined AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |      THEN 'subscribe to our newsletter today' || chr(10) || base
+        |      ELSE base END AS text
+        |  FROM linedbase),
+        |corpus AS (
+        |  SELECT doc_id, text FROM lined
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM lined)
+        |  WHERE doc_id % 10 = 0),
+        |lrow AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx, ls
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)),
+        |lx AS (SELECT doc_id, idx, ls[idx] AS line FROM lrow),
+        |rep AS (
+        |  SELECT lower(trim(line)) AS nl FROM lx
+        |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
+        |keptl AS (
+        |  SELECT doc_id, idx, line FROM lx
+        |  WHERE lower(trim(line)) NOT IN (SELECT nl FROM rep)),
+        |stripped AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS text
+        |  FROM keptl GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id FROM stripped
+        |  WHERE length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
+        |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
+        |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
+        |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM stripped),
+        |bgl AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
+        |  FROM tok),
+        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
+        |r AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
+        |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
+        |    FROM c GROUP BY doc_id)
+        |  WHERE dup_bigram_x1000 <= 100),
+        |h AS (SELECT doc_id, md5(text) AS content_md5 FROM stripped),
+        |keptq AS (
+        |  SELECT h.doc_id, h.content_md5
+        |  FROM h JOIN q USING (doc_id) JOIN r USING (doc_id)),
+        |keepq AS (SELECT content_md5, min(doc_id) AS doc_id FROM keptq GROUP BY content_md5),
+        |keep_quality AS (SELECT k.doc_id FROM keptq k JOIN keepq USING (content_md5, doc_id)),
+        |posn AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        |  FROM tok WHERE len(toks) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
+        |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM islands GROUP BY doc_id, island),
+        |perdoc AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id),
+        |keep_span AS (
+        |  SELECT t.doc_id FROM tok t LEFT JOIN perdoc p USING (doc_id)
+        |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500),
+        |btok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bitems AS (
+        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM btok
+        |  WHERE doc_id % 7 = 3 AND len(toks) >= 8),
+        |bgrams AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
+        |      ELSE [array_to_string(bt[i:i+7], ' ')
+        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
+        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
+        |                 x -> x <> '') AS bt FROM bitems))),
+        |dgrams AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
+        |  FROM tok),
+        |chits AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))
+        |SELECT s.doc_id, s.text FROM stripped s
+        |JOIN keep_quality USING (doc_id)
+        |JOIN keep_span USING (doc_id)
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM chits)""".stripMargin,
     // exact recompute of the repeated-line strip: identical midpoint-split
     // + banner planting, normalized (trim+lower) line frequency >= 2, and
     // ordered reassembly of the surviving original lines
