@@ -59,6 +59,38 @@ object Queries {
   private def extracted(s: SparkSession, dir: String) =
     ExtractJob.extract(s, SyntheticPages.pages(s, dir), ExtractJob.Config(buckets = 32))
 
+  /** Midpoint-split two-line corpus with a boilerplate banner prepended to
+    * every 5th doc — the planted input of q_line_dedup and q_curate_replay.
+    * `titleCaseTenth` plants the Title Case variant on every 10th doc
+    * (same normalized form, exercising the trim+lower match). One Scala
+    * copy ↔ one DuckDB `lined` CTE: edits must land in both.
+    */
+  private def midpointLined(d: DataFrame, titleCaseTenth: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    val half = floor(size(toks) / 2).cast("int")
+    val base = concat_ws("\n",
+      array_join(slice(toks, lit(1), half), " "),
+      array_join(slice(toks, half + 1, size(toks) - half), " "))
+    val lower5 = concat(lit("subscribe to our newsletter today\n"), base)
+    val banner =
+      if (titleCaseTenth)
+        when(col("doc_id") % 10 === 0,
+          concat(lit("Subscribe To Our Newsletter Today\n"), base))
+          .when(col("doc_id") % 5 === 0, lower5)
+      else when(col("doc_id") % 5 === 0, lower5)
+    d.select(col("doc_id"), banner.otherwise(base).as("text"))
+  }
+
+  /** Benchmark "questions": the first-12-token prefix of every doc with
+    * doc_id % mod == rem and at least 8 tokens — the eval-set stand-in the
+    * decontamination queries share. Mirrors the `bench_items` CTEs.
+    */
+  private def benchmarkPrefix(d: DataFrame, mod: Int, rem: Int): DataFrame = {
+    val tokens = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    d.filter(col("doc_id") % mod === rem && size(tokens) >= 8)
+      .select(array_join(slice(tokens, 1, 12), " ").as("text"))
+  }
+
   /** Two deterministic "reader runs" from the extraction: the real run plus
     * a case/whitespace-perturbed twin (exercises merge normalization +
     * agreement end to end).
@@ -570,11 +602,8 @@ object Queries {
     // see Decontaminate.contaminationHits's scale note).
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tokens = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
-      val benchmark = d
-        .filter(col("doc_id") % 10 === 0 && size(tokens) >= 8)
-        .select(array_join(slice(tokens, 1, 12), " ").as("text"))
-      Decontaminate.contaminationHits(s, Dedup.withPlantedNearDups(d), benchmark, n = 8)
+      Decontaminate.contaminationHits(s, Dedup.withPlantedNearDups(d),
+        benchmarkPrefix(d, mod = 10, rem = 0), n = 8)
     }),
 
     // exact duplicated-substring spans over docs ∪ planted twins: each twin
@@ -592,20 +621,9 @@ object Queries {
     // lines; every 5th doc gets a boilerplate banner line prepended (every
     // 10th in Title Case — same normalized form, so the whole family
     // strips); output is the full rebuilt text per doc
-    "q_line_dedup" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val half = floor(size(toks) / 2).cast("int")
-      val base = concat_ws("\n",
-        array_join(slice(toks, lit(1), half), " "),
-        array_join(slice(toks, half + 1, size(toks) - half), " "))
-      val lined = docs(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          concat(lit("Subscribe To Our Newsletter Today\n"), base))
-          .when(col("doc_id") % 5 === 0,
-            concat(lit("subscribe to our newsletter today\n"), base))
-          .otherwise(base).as("text"))
-      LineDedup.stripRepeatedLines(lined, minDf = 2)
-    }),
+    "q_line_dedup" -> ((s, dir) =>
+      LineDedup.stripRepeatedLines(
+        midpointLined(docs(s, dir), titleCaseTenth = true), minDf = 2)),
 
     // composed hygiene chain (the order a real curation pass runs): span
     // coverage gates out docs that are >50% duplicated substrings (every
@@ -617,12 +635,8 @@ object Queries {
       val planted = Dedup.withPlantedNearDups(d)
       val kept = DupSpans.dupCoverage(s, planted, k = 8)
         .filter(col("dup_tokens") * 2 <= col("n_tokens"))
-      val tokens = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
-      val benchmark = d
-        .filter(col("doc_id") % 10 === 0 && size(tokens) >= 8)
-        .select(array_join(slice(tokens, 1, 12), " ").as("text"))
-      val hits = Decontaminate.contaminationHits(s, planted, benchmark, n = 8)
-        .select(col("doc_id"))
+      val hits = Decontaminate.contaminationHits(s, planted,
+        benchmarkPrefix(d, mod = 10, rem = 0), n = 8).select(col("doc_id"))
       kept.join(broadcast(hits), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_tokens"))
     }),
@@ -635,20 +649,9 @@ object Queries {
     // itself, full text strings hash-compared against the DuckDB replay
     "q_curate_replay" -> ((s, dir) => {
       val d = docs(s, dir)
-      val toksSp = split(col("text"), " ")
-      val half = floor(size(toksSp) / 2).cast("int")
-      val base = concat_ws("\n",
-        array_join(slice(toksSp, lit(1), half), " "),
-        array_join(slice(toksSp, half + 1, size(toksSp) - half), " "))
-      val lined = d.select(col("doc_id"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit("subscribe to our newsletter today\n"), base))
-          .otherwise(base).as("text"))
-      val corpus = Dedup.withPlantedNearDups(lined)
-      val qtoks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
-      val benchmark = d.filter(col("doc_id") % 7 === 3 && size(qtoks) >= 8)
-        .select(array_join(slice(qtoks, 1, 12), " ").as("text"))
-      CurateMain.run(s, corpus, Some(benchmark), CurateMain.Args(), computeStats = false)._1
+      val corpus = Dedup.withPlantedNearDups(midpointLined(d, titleCaseTenth = false))
+      CurateMain.run(s, corpus, Some(benchmarkPrefix(d, mod = 7, rem = 3)),
+        CurateMain.Args(), computeStats = false)._1
     }),
 
     // ----- training-data ops: similarity search
@@ -841,6 +844,168 @@ object Queries {
     */
   val scalePinnedOracles: Set[String] =
     Set("q_minhash_dedup", "q_simhash_dedup", "q_near_dup_keeper")
+
+  // ---- shared CTE families for the hygiene/dedup oracles -----------------
+  // One SQL copy per construction: the standalone oracles (q_line_dedup,
+  // q_curation_pipeline, q_dup_spans, q_dup_span_coverage, q_decontaminate,
+  // q_span_decontam_chain) and the full-pipeline replay (q_curate_replay)
+  // interpolate the SAME fragments, so a threshold/normalization fix lands
+  // everywhere at once. Fragments are pre-stripMargin'd like docFlagsCte.
+
+  /** Midpoint-split two-line corpus with the banner planted on every 5th
+    * doc (Title Case on every 10th when `titleCaseTenth`) — mirror of the
+    * Scala [[midpointLined]]. Produces `linedbase`, `lined`.
+    */
+  private def linedCte(titleCaseTenth: Boolean): String = {
+    val titleBranch =
+      if (titleCaseTenth)
+        "WHEN doc_id % 10 = 0\n      THEN 'Subscribe To Our Newsletter Today' || chr(10) || base\n    "
+      else ""
+    s"""linedbase AS (
+      |  SELECT doc_id,
+      |    array_to_string(l[1:len(l)//2], ' ') || chr(10) ||
+      |    array_to_string(l[len(l)//2+1:len(l)], ' ') AS base
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |lined AS (
+      |  SELECT doc_id, CASE ${titleBranch}WHEN doc_id % 5 = 0
+      |      THEN 'subscribe to our newsletter today' || chr(10) || base
+      |      ELSE base END AS text
+      |  FROM linedbase)""".stripMargin
+  }
+
+  /** Planted near-dup twins (mirror of Dedup.withPlantedNearDups) over a
+    * (doc_id, text) source CTE/table. Produces `$out`.
+    */
+  private def plantedTwinsCte(src: String, out: String): String =
+    s"""$out AS (
+      |  SELECT doc_id, text FROM $src
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $src)
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Normalized word tokens of a (doc_id, text) source. Produces `$out`. */
+  private def toksCte(src: String, out: String): String =
+    s"""$out AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      |  FROM $src)""".stripMargin
+
+  /** Repeated-line strip (mirror of LineDedup.stripRepeatedLines, minDf=2)
+    * over a lined-corpus CTE. Produces `lrow`, `lx`, `rep`, `keptl`,
+    * `stripped` — docs whose every line stripped are ABSENT from
+    * `stripped` (callers LEFT JOIN + coalesce '' when they must keep them).
+    */
+  private def lineStripCtes(src: String): String =
+    s"""lrow AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx, ls
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src)),
+      |lx AS (SELECT doc_id, idx, ls[idx] AS line FROM lrow),
+      |rep AS (
+      |  SELECT lower(trim(line)) AS nl FROM lx
+      |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
+      |keptl AS (
+      |  SELECT doc_id, idx, line FROM lx
+      |  WHERE lower(trim(line)) NOT IN (SELECT nl FROM rep)),
+      |stripped AS (
+      |  SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS text
+      |  FROM keptl GROUP BY doc_id)""".stripMargin
+
+  /** The Curation.curate gates (quality + repetition + exact-dedup min-id
+    * keeper) over a (doc_id, text) source. Produces `cq`, `ctok`, `cbg`,
+    * `cu`, `cc`, `cr`, `ch`, `ckept`, `ckeep`, `keep_quality(doc_id,
+    * n_tokens, n_chars, dup_bigram_x1000)`.
+    */
+  private def curationCtes(src: String): String =
+    s"""cq AS (
+      |  SELECT doc_id,
+      |    length(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS n_tokens,
+      |    length(text) AS n_chars
+      |  FROM $src
+      |  WHERE length(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) >= 5
+      |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) * 3
+      |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) * 13
+      |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
+      |ctok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      |  FROM $src),
+      |cbg AS (
+      |  SELECT doc_id,
+      |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
+      |  FROM ctok),
+      |cu AS (SELECT doc_id, unnest(bgs) AS bg FROM cbg),
+      |cc AS (SELECT doc_id, bg, count(*) AS cnt FROM cu GROUP BY doc_id, bg),
+      |cr AS (
+      |  SELECT doc_id, dup_bigram_x1000 FROM (
+      |    SELECT doc_id,
+      |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
+      |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
+      |    FROM cc GROUP BY doc_id)
+      |  WHERE dup_bigram_x1000 <= 100),
+      |ch AS (SELECT doc_id, md5(text) AS content_md5 FROM $src),
+      |ckept AS (
+      |  SELECT ch.doc_id, ch.content_md5, cq.n_tokens, cq.n_chars, cr.dup_bigram_x1000
+      |  FROM ch JOIN cq USING (doc_id) JOIN cr USING (doc_id)),
+      |ckeep AS (SELECT content_md5, min(doc_id) AS doc_id FROM ckept GROUP BY content_md5),
+      |keep_quality AS (
+      |  SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
+      |  FROM ckept k JOIN ckeep USING (content_md5, doc_id))""".stripMargin
+
+  /** 8-gram duplicated-substring spans (mirror of DupSpans, k=8,
+    * minCount=2) over a toks CTE. Produces `posn`, `grams`, `dupg`,
+    * `hitsg`, `flagged`, `islands`, `spans(doc_id, s, e)`,
+    * `perdoc(doc_id, dup_tokens)`.
+    */
+  private def dupSpanCtes(tokSrc: String): String =
+    s"""posn AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+      |  FROM $tokSrc WHERE len(toks) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
+      |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      |hitsg AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gram)),
+      |flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
+      |  FROM hitsg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |islands AS (
+      |  SELECT doc_id, pos,
+      |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM flagged),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM islands GROUP BY doc_id, island),
+      |perdoc AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id)""".stripMargin
+
+  /** Benchmark decontamination (mirror of Decontaminate, n=8): first-12-
+    * token questions of `$benchTable` docs with doc_id % $mod == $rem,
+    * distinct benchmark grams, per-doc distinct corpus grams (with the
+    * short-text whole-text fallback) and the contaminated-id set.
+    * Produces `btok`, `bitems`, `bgrams`, `dgrams`, `chits`.
+    */
+  private def decontamCtes(tokSrc: String, benchTable: String, mod: Int, rem: Int): String =
+    s"""btok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      |  FROM $benchTable),
+      |bitems AS (
+      |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM btok
+      |  WHERE doc_id % $mod = $rem AND len(toks) >= 8),
+      |bgrams AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
+      |      ELSE [array_to_string(bt[i:i+7], ' ')
+      |            for i in generate_series(1, len(bt) - 7)] END) AS gram
+      |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\\s+'),
+      |                 x -> x <> '') AS bt FROM bitems))),
+      |dgrams AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+      |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
+      |  FROM $tokSrc),
+      |chits AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "extract_invariants" ->
@@ -1501,44 +1666,12 @@ object Queries {
     // (UNION ALL), the quality predicate, the bigram repeat-mass gate,
     // then min-doc_id-per-md5 keeper selection
     "q_curation_pipeline" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
-        |q AS (
-        |  SELECT doc_id,
-        |    length(regexp_split_to_array(trim(text), '[ \t-\r]+')) AS n_tokens,
-        |    length(text) AS n_chars
-        |  FROM corpus
-        |  WHERE length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
-        |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
-        |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
-        |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
-        |tok AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                     x -> x <> '') AS toks
-        |  FROM corpus),
-        |bg AS (
-        |  SELECT doc_id,
-        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
-        |  FROM tok),
-        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
-        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
-        |r AS (
-        |  SELECT doc_id, dup_bigram_x1000 FROM (
-        |    SELECT doc_id,
-        |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
-        |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
-        |    FROM c GROUP BY doc_id)
-        |  WHERE dup_bigram_x1000 <= 100),
-        |h AS (SELECT doc_id, md5(text) AS content_md5 FROM corpus),
-        |kept AS (
-        |  SELECT h.doc_id, h.content_md5, q.n_tokens, q.n_chars, r.dup_bigram_x1000
-        |  FROM h JOIN q USING (doc_id) JOIN r USING (doc_id)),
-        |keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM kept GROUP BY content_md5)
-        |SELECT k.doc_id, k.n_tokens, k.n_chars, k.dup_bigram_x1000
-        |FROM kept k JOIN keep USING (content_md5, doc_id)""".stripMargin,
+        |${curationCtes("corpus")}
+        |SELECT doc_id, n_tokens, n_chars, dup_bigram_x1000 FROM keep_quality""".stripMargin,
     "q_token_budget_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,
@@ -1649,34 +1782,9 @@ object Queries {
     // planted twins, per-doc distinct grams and the short-text fallback
     // all mirror the engine's construction token for token
     "q_decontaminate" ->
-      """WITH toksrc AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |bench_items AS (
-        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM toksrc
-        |  WHERE doc_id % 10 = 0 AND len(toks) >= 8),
-        |bgrams AS (
-        |  SELECT DISTINCT gram FROM (
-        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
-        |      ELSE [array_to_string(bt[i:i+7], ' ')
-        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
-        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
-        |                 x -> x <> '') AS bt FROM bench_items))),
-        |planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |  WHERE doc_id % 10 = 0),
-        |dgrams AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
-        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                      x -> x <> '') AS toks FROM planted))
+      s"""WITH ${plantedTwinsCte("documents", "planted")},
+        |${toksCte("planted", "toksrc")},
+        |${decontamCtes("toksrc", "documents", 10, 0)}
         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
         |FROM dgrams d JOIN bgrams b USING (gram)
         |GROUP BY d.doc_id""".stripMargin,
@@ -1685,131 +1793,31 @@ object Queries {
     // occurrences (cross-doc and within-doc), then the identical
     // gaps-and-islands overlap merge (new island when the gap >= k)
     "q_dup_spans" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |  WHERE doc_id % 10 = 0),
-        |toksrc AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM planted),
-        |posn AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
-        |  FROM toksrc WHERE len(toks) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
-        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
-        |flagged AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM flagged)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
-        |  CAST(max(pos) + 7 AS BIGINT) AS end_tok
-        |FROM islands GROUP BY doc_id, island""".stripMargin,
+      s"""WITH ${plantedTwinsCte("documents", "planted")},
+        |${toksCte("planted", "toksrc")},
+        |${dupSpanCtes("toksrc")}
+        |SELECT doc_id, CAST(s AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok
+        |FROM spans""".stripMargin,
     // the coverage signal over the same spans: per-doc duplicated-token
     // sum left-joined onto every planted doc's token count (clean -> 0)
     "q_dup_span_coverage" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |  WHERE doc_id % 10 = 0),
-        |toksrc AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM planted),
-        |posn AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
-        |  FROM toksrc WHERE len(toks) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
-        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
-        |flagged AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM flagged),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
-        |  FROM islands GROUP BY doc_id, island),
-        |per_doc AS (
-        |  SELECT doc_id, sum(end_tok - start_tok + 1) AS dup_tokens
-        |  FROM spans GROUP BY doc_id)
+      s"""WITH ${plantedTwinsCte("documents", "planted")},
+        |${toksCte("planted", "toksrc")},
+        |${dupSpanCtes("toksrc")}
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
-        |FROM toksrc t LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+        |FROM toksrc t LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
     // the composed chain: coverage CTEs (q_dup_span_coverage) gate on
     // 2*dup_tokens <= n_tokens, then the decontamination CTEs
     // (q_decontaminate) remove benchmark-overlapping docs
     "q_span_decontam_chain" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |  WHERE doc_id % 10 = 0),
-        |toksrc AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM planted),
-        |posn AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
-        |  FROM toksrc WHERE len(toks) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
-        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
-        |flagged AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM flagged),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
-        |  FROM islands GROUP BY doc_id, island),
-        |per_doc AS (
-        |  SELECT doc_id, sum(end_tok - start_tok + 1) AS dup_tokens
-        |  FROM spans GROUP BY doc_id),
+      s"""WITH ${plantedTwinsCte("documents", "planted")},
+        |${toksCte("planted", "toksrc")},
+        |${dupSpanCtes("toksrc")},
         |coverage AS (
         |  SELECT t.doc_id, len(t.toks) AS n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens
-        |  FROM toksrc t LEFT JOIN per_doc p USING (doc_id)),
-        |btoksrc AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |bench_items AS (
-        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM btoksrc
-        |  WHERE doc_id % 10 = 0 AND len(toks) >= 8),
-        |bgrams AS (
-        |  SELECT DISTINCT gram FROM (
-        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
-        |      ELSE [array_to_string(bt[i:i+7], ' ')
-        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
-        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
-        |                 x -> x <> '') AS bt FROM bench_items))),
-        |dgrams AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
-        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
-        |  FROM toksrc),
-        |chits AS (
-        |  SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))
+        |  FROM toksrc t LEFT JOIN perdoc p USING (doc_id)),
+        |${decontamCtes("toksrc", "documents", 10, 0)}
         |SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens
         |FROM coverage c
         |WHERE 2 * c.dup_tokens <= c.n_tokens
@@ -1819,107 +1827,16 @@ object Queries {
     // STRIPPED text) → span-coverage gate (q_dup_span CTEs, k=8, 500‰) →
     // decontamination (q_decontaminate CTEs, benchmark = %7==3 prefixes)
     "q_curate_replay" ->
-      """WITH linedbase AS (
-        |  SELECT doc_id,
-        |    array_to_string(l[1:len(l)//2], ' ') || chr(10) ||
-        |    array_to_string(l[len(l)//2+1:len(l)], ' ') AS base
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-        |lined AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
-        |      THEN 'subscribe to our newsletter today' || chr(10) || base
-        |      ELSE base END AS text
-        |  FROM linedbase),
-        |corpus AS (
-        |  SELECT doc_id, text FROM lined
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, array_to_string(l[1:greatest(len(l) - 2, 1)], ' ')
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM lined)
-        |  WHERE doc_id % 10 = 0),
-        |lrow AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx, ls
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)),
-        |lx AS (SELECT doc_id, idx, ls[idx] AS line FROM lrow),
-        |rep AS (
-        |  SELECT lower(trim(line)) AS nl FROM lx
-        |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
-        |keptl AS (
-        |  SELECT doc_id, idx, line FROM lx
-        |  WHERE lower(trim(line)) NOT IN (SELECT nl FROM rep)),
-        |stripped AS (
-        |  SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS text
-        |  FROM keptl GROUP BY doc_id),
-        |q AS (
-        |  SELECT doc_id FROM stripped
-        |  WHERE length(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
-        |    AND length(text) >= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 3
-        |    AND length(text) <= length(regexp_split_to_array(trim(text), '[ \t-\r]+')) * 13
-        |    AND (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10 <= length(text)),
-        |tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM stripped),
-        |bgl AS (
-        |  SELECT doc_id,
-        |    [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS bgs
-        |  FROM tok),
-        |u AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
-        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM u GROUP BY doc_id, bg),
-        |r AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      1000 * (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))
-        |        // CAST(sum(cnt) AS BIGINT) AS dup_bigram_x1000
-        |    FROM c GROUP BY doc_id)
-        |  WHERE dup_bigram_x1000 <= 100),
-        |h AS (SELECT doc_id, md5(text) AS content_md5 FROM stripped),
-        |keptq AS (
-        |  SELECT h.doc_id, h.content_md5
-        |  FROM h JOIN q USING (doc_id) JOIN r USING (doc_id)),
-        |keepq AS (SELECT content_md5, min(doc_id) AS doc_id FROM keptq GROUP BY content_md5),
-        |keep_quality AS (SELECT k.doc_id FROM keptq k JOIN keepq USING (content_md5, doc_id)),
-        |posn AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
-        |  FROM tok WHERE len(toks) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram FROM posn),
-        |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-        |hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gram)),
-        |flagged AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN coalesce(pos - lag(pos) OVER w, 8) >= 8 THEN 1 ELSE 0 END AS new_island
-        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM flagged),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-        |  FROM islands GROUP BY doc_id, island),
-        |perdoc AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id),
+      s"""WITH ${linedCte(titleCaseTenth = false)},
+        |${plantedTwinsCte("lined", "corpus")},
+        |${lineStripCtes("corpus")},
+        |${curationCtes("stripped")},
+        |${toksCte("stripped", "stok")},
+        |${dupSpanCtes("stok")},
         |keep_span AS (
-        |  SELECT t.doc_id FROM tok t LEFT JOIN perdoc p USING (doc_id)
+        |  SELECT t.doc_id FROM stok t LEFT JOIN perdoc p USING (doc_id)
         |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500),
-        |btok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |bitems AS (
-        |  SELECT array_to_string(toks[1:12], ' ') AS btext FROM btok
-        |  WHERE doc_id % 7 = 3 AND len(toks) >= 8),
-        |bgrams AS (
-        |  SELECT DISTINCT gram FROM (
-        |    SELECT unnest(CASE WHEN len(bt) < 8 THEN [array_to_string(bt, ' ')]
-        |      ELSE [array_to_string(bt[i:i+7], ' ')
-        |            for i in generate_series(1, len(bt) - 7)] END) AS gram
-        |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(btext)), '\s+'),
-        |                 x -> x <> '') AS bt FROM bitems))),
-        |dgrams AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
-        |            for i in generate_series(1, len(toks) - 7)]) END) AS gram
-        |  FROM tok),
-        |chits AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))
+        |${decontamCtes("stok", "documents", 7, 3)}
         |SELECT s.doc_id, s.text FROM stripped s
         |JOIN keep_quality USING (doc_id)
         |JOIN keep_span USING (doc_id)
@@ -1928,32 +1845,10 @@ object Queries {
     // + banner planting, normalized (trim+lower) line frequency >= 2, and
     // ordered reassembly of the surviving original lines
     "q_line_dedup" ->
-      """WITH lined AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 = 0
-        |           THEN 'Subscribe To Our Newsletter Today' || chr(10) || base
-        |         WHEN doc_id % 5 = 0
-        |           THEN 'subscribe to our newsletter today' || chr(10) || base
-        |         ELSE base END AS text
-        |  FROM (
-        |    SELECT doc_id,
-        |      array_to_string(l[1:len(l)//2], ' ') || chr(10) ||
-        |      array_to_string(l[len(l)//2+1:len(l)], ' ') AS base
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))),
-        |lrow AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS idx, ls
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)),
-        |lx AS (SELECT doc_id, idx, ls[idx] AS line FROM lrow),
-        |rep AS (
-        |  SELECT lower(trim(line)) AS nl FROM lx
-        |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
-        |kept AS (
-        |  SELECT doc_id, idx, line FROM lx
-        |  WHERE lower(trim(line)) NOT IN (SELECT nl FROM rep))
+      s"""WITH ${linedCte(titleCaseTenth = true)},
+        |${lineStripCtes("lined")}
         |SELECT d.doc_id, coalesce(k.text, '') AS text
-        |FROM lined d LEFT JOIN (
-        |  SELECT doc_id, array_to_string(list(line ORDER BY idx), chr(10)) AS text
-        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
+        |FROM lined d LEFT JOIN stripped k USING (doc_id)""".stripMargin,
     // exact transitive closure of the same arithmetic pair graph: a
     // recursive CTE floods every label across symmetric edges; min per
     // vertex = the component minimum, matching the engine's min-label CC
