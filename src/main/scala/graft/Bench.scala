@@ -93,7 +93,7 @@ object Bench {
       "q_stratified_sample", "q_token_budget_cap", "q_token_freq_quality",
       "q_pii_redact", "q_chunk_windows", "q_ivf_cell_stats", "q_multimodal_resize",
       "q_exact_dedup_md5", "q_dedup_incremental", "q_dedup_incremental_bloom",
-      "q_decontaminate", "q_dup_spans", "q_dup_span_coverage", "q_span_decontam_chain", "q_curate_replay",
+      "q_decontaminate", "q_dup_spans", "q_dup_span_coverage", "q_span_decontam_chain", "q_curate_replay", "q_extract_curate",
       "q_line_dedup", "q_minhash_dedup", "q_simhash_dedup",
       "q_cosine_near_dup", "q_ann_topk", "q_ann_ivf", "q_multimodal_meta",
       "q_multimodal_ppm")

@@ -654,6 +654,19 @@ object Queries {
         CurateMain.Args(), computeStats = false)._1
     }),
 
+    // the TRUE end-to-end path: web pages → extraction (main_text, whose
+    // boilerplate lines — section headings, the non-en typographic line,
+    // the %101 repetition pathology — are GENUINE cross-document repeats,
+    // no planting needed) → the curation chain. Line strip removes the
+    // real boilerplate, quality/repetition/exact-dedup and the span gate
+    // run over the cleaned text; output is the curated training corpus
+    "q_extract_curate" -> ((s, dir) => {
+      val web = extracted(s, dir).toDF().select(
+        substring(col("url"), -8, 8).cast("long").as("doc_id"),
+        col("main_text").as("text"))
+      CurateMain.run(s, web, None, CurateMain.Args(), computeStats = false)._1
+    }),
+
     // ----- training-data ops: similarity search
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -1007,6 +1020,44 @@ object Queries {
       |  FROM $tokSrc),
       |chits AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram))""".stripMargin
 
+  /** The generator's main-text blocks (mirror of SyntheticPages' page
+    * renderer + the extractor's boilerplate strip): produces `mtseed`,
+    * `mtchunked`, `mtparas`, `mtblocks(doc_id, bl)` — `array_to_string(bl,
+    * chr(10))` IS the extracted main_text, byte for byte. Requires
+    * docFlagsCte's `f`. Shared by extract_main_text and q_extract_curate.
+    */
+  private val mainTextBlocksCte =
+    """mtseed AS (
+      |  SELECT f.doc_id, f.lang, f.m3, f.m5, d.text,
+      |    string_split(d.text, ' ') AS words,
+      |    (f.doc_id * 1103515245 + 12345) % 2147483647 AS pd
+      |  FROM f JOIN documents d ON d.doc_id = f.doc_id),
+      |mtchunked AS (
+      |  SELECT *, greatest(len(words) // (2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3), 1) AS chunk,
+      |    2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3 AS pc
+      |  FROM mtseed),
+      |mtparas AS (
+      |  SELECT *,
+      |    list_filter(
+      |      [array_to_string(words[j * chunk + 1 : least((j + 1) * chunk, len(words))], ' ')
+      |       for j in generate_series(0, pc - 1) if j * chunk < len(words)],
+      |      x -> length(x) >= 10) AS kept
+      |  FROM mtchunked),
+      |mtblocks AS (
+      |  SELECT doc_id,
+      |    ['Synthetic page ' || CAST(doc_id AS VARCHAR)] || kept ||
+      |    (CASE WHEN m5 = 1 THEN ['Second page heading'] ELSE [] END) ||
+      |    (CASE WHEN m3 = 1 THEN ['This is an interesting table:'] ELSE [] END) ||
+      |    (CASE WHEN lang <> 'en'
+      |         THEN ['Comillas «tipográficas» y guión—largo... ‘señal ́e’ suficiente longitud aquí.']
+      |         ELSE [] END) ||
+      |    (CASE WHEN doc_id % 101 = 100 AND length(text) >= 10
+      |         THEN [text for i in generate_series(1, 60)] ELSE [] END) AS bl
+      |  FROM mtparas)""".stripMargin
+  // NOTE for future fragments: a fragment line must never BEGIN with `||`
+  // after its margin — the consuming oracle's outer stripMargin treats the
+  // first `|` as a margin char and silently halves the operator.
+
   val oracles: Map[String, String] = Map(
     "extract_invariants" ->
       s"""WITH $docFlagsCte
@@ -1134,35 +1185,9 @@ object Queries {
     // boilerplate (dropped); <pre> and table content never enter blocks.
     "extract_main_text" ->
       s"""WITH $docFlagsCte,
-        |seed AS (
-        |  SELECT f.doc_id, f.lang, f.m3, f.m5, d.text,
-        |    string_split(d.text, ' ') AS words,
-        |    (f.doc_id * 1103515245 + 12345) % 2147483647 AS pd
-        |  FROM f JOIN documents d ON d.doc_id = f.doc_id),
-        |chunked AS (
-        |  SELECT *, greatest(len(words) // (2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3), 1) AS chunk,
-        |    2 + (pd * pd % 2147483647 + pd) % 2147483647 % 3 AS pc
-        |  FROM seed),
-        |paras AS (
-        |  SELECT *,
-        |    list_filter(
-        |      [array_to_string(words[j * chunk + 1 : least((j + 1) * chunk, len(words))], ' ')
-        |       for j in generate_series(0, pc - 1) if j * chunk < len(words)],
-        |      x -> length(x) >= 10) AS kept
-        |  FROM chunked),
-        |blocks AS (
-        |  SELECT doc_id,
-        |    ['Synthetic page ' || CAST(doc_id AS VARCHAR)] || kept
-        |    || (CASE WHEN m5 = 1 THEN ['Second page heading'] ELSE [] END)
-        |    || (CASE WHEN m3 = 1 THEN ['This is an interesting table:'] ELSE [] END)
-        |    || (CASE WHEN lang <> 'en'
-        |         THEN ['Comillas «tipográficas» y guión—largo... ‘señal ́e’ suficiente longitud aquí.']
-        |         ELSE [] END)
-        |    || (CASE WHEN doc_id % 101 = 100 AND length(text) >= 10
-        |         THEN [text for i in generate_series(1, 60)] ELSE [] END) AS bl
-        |  FROM paras)
+        |$mainTextBlocksCte
         |SELECT $urlExpr AS url, md5(array_to_string(bl, chr(10))) AS main_text_md5
-        |FROM blocks""".stripMargin,
+        |FROM mtblocks""".stripMargin,
     // FULL CONTENT oracle (round-3 stretch): every flattened cell STRING is
     // recomputed from the generator arithmetic — vocab pick and population
     // via the 31-bit LCG+scramble hash (SyntheticPages.mix), span
@@ -1841,6 +1866,23 @@ object Queries {
         |JOIN keep_quality USING (doc_id)
         |JOIN keep_span USING (doc_id)
         |WHERE s.doc_id NOT IN (SELECT doc_id FROM chits)""".stripMargin,
+    // extraction → curation: the shared main-text rebuild feeds the same
+    // strip/quality/span CTE families (no benchmark stage)
+    "q_extract_curate" ->
+      s"""WITH $docFlagsCte,
+        |$mainTextBlocksCte,
+        |webdocs AS (
+        |  SELECT doc_id, array_to_string(bl, chr(10)) AS text FROM mtblocks),
+        |${lineStripCtes("webdocs")},
+        |${curationCtes("stripped")},
+        |${toksCte("stripped", "stok")},
+        |${dupSpanCtes("stok")},
+        |keep_span AS (
+        |  SELECT t.doc_id FROM stok t LEFT JOIN perdoc p USING (doc_id)
+        |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500)
+        |SELECT s.doc_id, s.text FROM stripped s
+        |JOIN keep_quality USING (doc_id)
+        |JOIN keep_span USING (doc_id)""".stripMargin,
     // exact recompute of the repeated-line strip: identical midpoint-split
     // + banner planting, normalized (trim+lower) line frequency >= 2, and
     // ordered reassembly of the surviving original lines
