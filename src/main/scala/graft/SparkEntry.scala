@@ -300,7 +300,7 @@ object Queries {
           prev = cur
           val newFiles = parts.map(_.asInstanceOf[graft.sources.WarcFilePartition].path)
           val agg = s.read.format("warc").load(newFiles.toIndexedSeq: _*)
-            .select(substring(col("url"), -8, 8).cast("long").as("doc_id"))
+            .select(SyntheticPages.docIdOfUrl(col("url")).as("doc_id"))
             .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sd"))
             .collect()(0)
           (k.toLong, newFiles.length.toLong, agg.getLong(0), agg.getLong(1))
@@ -662,7 +662,7 @@ object Queries {
     // run over the cleaned text; output is the curated training corpus
     "q_extract_curate" -> ((s, dir) => {
       val web = extracted(s, dir).toDF().select(
-        substring(col("url"), -8, 8).cast("long").as("doc_id"),
+        SyntheticPages.docIdOfUrl(col("url")).as("doc_id"),
         col("main_text").as("text"))
       CurateMain.run(s, web, None, CurateMain.Args(), computeStats = false)._1
     }),
@@ -990,6 +990,15 @@ object Queries {
       |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
       |  FROM islands GROUP BY doc_id, island),
       |perdoc AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id)""".stripMargin
+
+  /** The CurateMain span-coverage gate (maxDupPermille = 500, the Args
+    * default) over a toks CTE; requires [[dupSpanCtes]]'s `perdoc`.
+    * Produces `keep_span`.
+    */
+  private def spanGateCte(tokSrc: String): String =
+    s"""keep_span AS (
+      |  SELECT t.doc_id FROM $tokSrc t LEFT JOIN perdoc p USING (doc_id)
+      |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500)""".stripMargin
 
   /** Benchmark decontamination (mirror of Decontaminate, n=8): first-12-
     * token questions of `$benchTable` docs with doc_id % $mod == $rem,
@@ -1858,9 +1867,7 @@ object Queries {
         |${curationCtes("stripped")},
         |${toksCte("stripped", "stok")},
         |${dupSpanCtes("stok")},
-        |keep_span AS (
-        |  SELECT t.doc_id FROM stok t LEFT JOIN perdoc p USING (doc_id)
-        |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500),
+        |${spanGateCte("stok")},
         |${decontamCtes("stok", "documents", 7, 3)}
         |SELECT s.doc_id, s.text FROM stripped s
         |JOIN keep_quality USING (doc_id)
@@ -1877,9 +1884,7 @@ object Queries {
         |${curationCtes("stripped")},
         |${toksCte("stripped", "stok")},
         |${dupSpanCtes("stok")},
-        |keep_span AS (
-        |  SELECT t.doc_id FROM stok t LEFT JOIN perdoc p USING (doc_id)
-        |  WHERE coalesce(p.dup_tokens, 0) * 1000 <= len(t.toks) * 500)
+        |${spanGateCte("stok")}
         |SELECT s.doc_id, s.text FROM stripped s
         |JOIN keep_quality USING (doc_id)
         |JOIN keep_span USING (doc_id)""".stripMargin,

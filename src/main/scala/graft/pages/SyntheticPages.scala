@@ -148,6 +148,16 @@ object SyntheticPages {
 
   def urlOf(docId: Long): String = f"https://synthetic.example.org/doc/$docId%08d"
 
+  /** Column-level inverse of [[urlOf]] — the ONE place that knows the url
+    * tail is an 8-digit zero-padded doc_id (doc_id >= 10^8 would widen the
+    * printf field and break an inverse that hardcodes 8; keeping format
+    * and inverse adjacent makes that a one-file change).
+    */
+  def docIdOfUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.substring
+    substring(url, -8, 8).cast("long")
+  }
+
   // memoized source read: repeated spark.read.parquet calls re-run footer/
   // schema planning jobs; the resolved (immutable) DataFrame is reusable.
   // Weakly keyed per session (core.DfCache).
