@@ -118,10 +118,22 @@ object CurateMain {
     def cached(df: DataFrame): DataFrame =
       if (computeStats) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+    // construction-pure analog of the persist (guide §2.4 "share one
+    // exchange"): the stripped corpus feeds FOUR consumers (quality gate,
+    // span gate, decontamination, final semi-join). With no persist, each
+    // consumer would re-evaluate the whole strip subtree — including the
+    // upstream extraction when this chain runs end-to-end — so the
+    // computeStats=false path pins one hash exchange on doc_id that
+    // exchange reuse collapses the consumers onto: the strip (and
+    // everything below it) executes exactly once per action, at the cost
+    // of one (doc_id, text) shuffle. The persisted path needs no pin —
+    // consumers hit the cached blocks.
+    def shared(df: DataFrame): DataFrame =
+      if (computeStats) df else df.repartition(col("doc_id"))
     val lined =
-      if (args.skipLineDedup) input
-      else cached(LineDedup.stripRepeatedLines(input, args.lineMinDf)
-        .filter(col("text") =!= ""))
+      if (args.skipLineDedup) shared(input)
+      else shared(cached(LineDedup.stripRepeatedLines(input, args.lineMinDf)
+        .filter(col("text") =!= "")))
     val keepQuality = cached(Curation.curate(spark, lined).select(col("doc_id")))
     val keepSpan =
       if (args.skipSpanGate) None

@@ -55,10 +55,15 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(Shingles.tokenNGrams(split(lower(trim(text)), "\\s+"), n))
 
-  /** Typed (doc_id, shingles) — one linear pass per document. */
+  /** Typed (doc_id, shingles) — one linear pass per document. Input is
+    * [[Spread.spread]]-guarded (a tiny input otherwise runs this CPU-heavy
+    * pass on 1-2 scan tasks); note the spread projection matches
+    * [[bandHashRows]]', so minhashLshPairs' two passes over the same docs
+    * share one reused exchange when it fires.
+    */
   def shingleRows(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shinglesOf(text, n)) })
       .toDF("doc_id", "shingles")
   }
@@ -107,7 +112,7 @@ object Dedup {
   def bandHashRows(spark: SparkSession, docs: DataFrame, cfg: LshConfig): DataFrame = {
     import spark.implicits._
     val rowsPerBand = cfg.numHashes / cfg.bands
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.flatMap { case (docId, text) =>
         val shingles = shinglesOf(text, cfg.shingleSize)
         val mins = Array.fill(cfg.numHashes)(Long.MaxValue)
@@ -207,6 +212,11 @@ object Dedup {
     */
   def simhashRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // deliberately NOT Spread-guarded: the signature pass is cheap (one
+    // O(tokens×62) vote loop per doc), and an A/B on the bench corpus
+    // measured the added exchange + wider partial collect_list fan-in
+    // costing ~1 s while parallelizing the pass bought back less
+    // (0.99 s unspread vs 2.05 s spread)
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       it.map { case (docId, text) =>
         val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct

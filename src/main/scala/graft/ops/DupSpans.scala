@@ -45,6 +45,43 @@ object DupSpans {
     }.toDF("doc_id", "pos", "gram")
   }
 
+  /** Hot-path form of [[gramPositionRows]]: emits the 16-byte MD5 digest of
+    * each gram directly from the typed pass — value-identical to
+    * `unhex(md5(gram))` over [[gramPositionRows]] (MD5 runs over the same
+    * UTF-8 byte stream, fed token-by-token with the ' ' separator), but the
+    * gram STRING is never materialized into a row, and the per-gram
+    * hex-encode + unhex round-trip of the Column md5 path disappears
+    * (guide §1.2 step 2: per-task work, measured as the dominant narrow
+    * stage). Input is [[Spread.spread]]-guarded: tokenize+hash is the
+    * CPU-heavy pass a tiny input would otherwise run on 1-2 scan tasks.
+    */
+  def gramDigestRows(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"gram size must be positive, got $k")
+    import spark.implicits._
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = TextAnalysis.sqlTrim(text)
+            .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+          if (toks.length < k) Iterator.empty
+          else {
+            val bytes = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (0 to toks.length - k).iterator.map { i =>
+              digest.reset()
+              var j = i
+              while (j < i + k) {
+                if (j > i) digest.update(' '.toByte)
+                digest.update(bytes(j))
+                j += 1
+              }
+              (docId, i, digest.digest())
+            }
+          }
+        }
+      }.toDF("doc_id", "pos", "g")
+  }
+
   /** Maximal duplicated-token spans: (doc_id, start_tok, end_tok), both
     * 0-based inclusive token indices. Every token in a span is covered by
     * some k-gram occurring >= minCount times in the corpus; spans merge on
@@ -57,8 +94,7 @@ object DupSpans {
     // 16-byte digest (not the gram text) is what shuffles; md5 is already
     // collision-free at corpus scale and cross-engine recomputable, though
     // the digest never leaves this query.
-    val grams = gramPositionRows(spark, docs, k)
-      .select(col("doc_id"), col("pos"), unhex(md5(col("gram"))).as("g"))
+    val grams = gramDigestRows(spark, docs, k)
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("g"))
     val hits = grams.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
@@ -84,7 +120,11 @@ object DupSpans {
       .groupBy(col("doc_id"))
       .agg(sum(col("end_tok") - col("start_tok") + 1).as("dup_tokens"))
     val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
-    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    // the n_tokens side reads the SAME spread projection as the gram pass,
+    // so when Spread fires the two sides share one reused exchange (one
+    // physical evaluation of `docs` instead of two)
+    Spread.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))

@@ -43,7 +43,13 @@ object LineDedup {
     * drop or keep them; the row stays so per-doc accounting survives).
     */
   def stripRepeatedLines(docs: DataFrame, minDf: Long = 2L): DataFrame = {
-    val lines = lineHashRows(docs)
+    // Spread-guarded (tiny inputs otherwise run the explode+digest pass on
+    // 1-2 scan tasks), and BOTH consumers below — the line-digest side and
+    // the rebuild join side — read the same spread projection, so when it
+    // fires the docs subtree evaluates once behind a reused exchange
+    // instead of twice.
+    val d = Spread.spread(docs.select(col("doc_id"), col("text")))
+    val lines = lineHashRows(d)
     val repeated = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("h"))
     val removedPerDoc = lines.join(repeated, Seq("h"))
@@ -56,7 +62,7 @@ object LineDedup {
             s => !array_contains(col("removed"), s.getField("i"))),
           s => s.getField("l")),
         "\n")
-    docs.join(removedPerDoc, Seq("doc_id"), "left")
+    d.join(removedPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("removed").isNull, col("text")).otherwise(rebuilt).as("text"))
   }

@@ -32,9 +32,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("dup spans: three shuffles only (gram df, flag-back join, doc window); span merge reuses the window exchange") {
+  test("dup spans: shuffle budget — conditional input spread + gram df + doc window; span merge reuses the window exchange") {
     val p = plan("q_dup_spans")
-    assert(p.split("Exchange").length - 1 == 3, p)
+    // Count REAL shuffle exchanges ("Exchange hashpartitioning"), not the
+    // raw "Exchange" substring (r6 ADVICE: BroadcastExchange/ReusedExchange
+    // made that count brittle). Budget: the conditional small-input spread
+    // (appears twice pre-AQE — runtime exchange reuse collapses the copies
+    // onto ONE scan, stage-profile-verified), the gram-df groupBy, and the
+    // doc window; the span-merge groupBy reuses the window exchange. At
+    // corpus scale the spread does not fire and the budget is 2.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 4, p)
+    // the flag-back join must stay broadcast (dup grams are the sliver)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the spread fires at test scale (tiny input)
+    assert(p.contains("REPARTITION_BY_COL"), p)
   }
 
   test("stratified sampling is a pure narrow filter: zero Exchange") {
