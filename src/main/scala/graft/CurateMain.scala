@@ -104,7 +104,16 @@ object CurateMain {
     // null text is dropped at intake (counted out of input_docs) so both
     // the skip-line-dedup path (typed signal pass would NPE) and the strip
     // path (posexplode drops the row silently) see the same corpus
-    val input = docs.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val input0 = docs.select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    // The strip consumes `input` twice (line-digest side + rebuild join
+    // side). When the input is itself an expensive subtree — the
+    // end-to-end path feeds the whole extraction pipeline in here — the
+    // construction-pure mode pins one exchange above it so both strip
+    // sides share a single evaluation; a plain scan passes through
+    // (re-scanning is cheaper than shuffling; the ops' own Spread guard
+    // owns scan parallelism). The persisted mode needs no pin.
+    val input =
+      if (computeStats) input0 else graft.ops.Spread.shareIfComplex(input0)
     // every gate is a scalar (doc_id) stream; text joins once at the end.
     // Each gate frame (and the stripped corpus feeding them all) is
     // persisted so its subtree executes exactly once — serving both its

@@ -165,16 +165,35 @@ object Queries {
       extracted(s, dir).toDF().select(
         col("url"), md5(col("main_text")).as("main_text_md5"))),
 
-    // per-url cell/row counts of the flatten — SQL-recomputable
-    "extract_flat_counts" -> ((s, dir) =>
-      flatCells(s, dir)
+    // per-url cell/row counts of the flatten — SQL-recomputable.
+    // Aggregated from ROW-granularity rows (one typed row per (url, table,
+    // frag, row) with its cell count) instead of the cell-granularity
+    // flatten: sum(n_row_cells) ≡ count(1) over cells and the
+    // countDistinct's expand/partial-agg input shrinks ~7× (cells per row),
+    // with identical results under ANY url multiplicity — rows with zero
+    // cells emit nothing, exactly like the cell flatten (guide §2.3
+    // "aggregate before you shuffle"; measured -0.5 s at sf0.1).
+    "extract_flat_counts" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core.TableDoc
+      val rowCells = extracted(s, dir).flatMap { e =>
+        val doc = TableDoc.fromJsonString(e.tables_json)
+        for {
+          (t, ti) <- doc.tables.zipWithIndex
+          (f, fi) <- t.fragments.zipWithIndex
+          (row, ri) <- f.rows.zipWithIndex
+          if row.columns.nonEmpty
+        } yield (e.url, ti, fi, ri, row.columns.size.toLong)
+      }.toDF("url", "table_idx", "frag_idx", "row_idx", "n_row_cells")
+      rowCells
         .groupBy(col("url"))
-        .agg(count(lit(1)).as("n_cells"),
+        .agg(sum(col("n_row_cells")).as("n_cells"),
           // frag_idx included: row_idx resets per fragment, so a
           // multi-fragment table would undercount without it (the current
           // extractor emits one fragment per table, but the count must not
           // depend on that invariant)
-          countDistinct(col("table_idx"), col("frag_idx"), col("row_idx")).as("n_rows"))),
+          countDistinct(col("table_idx"), col("frag_idx"), col("row_idx")).as("n_rows"))
+    }),
 
     // N-run merge (J1-J4 + agreement G1/G4) over two deterministic runs
     "merge_agreement" -> ((s, dir) =>
@@ -382,13 +401,17 @@ object Queries {
       val planted = concat(col("text"),
         lit(" it's v2.0 #"), col("doc_id").cast("string"),
         lit(", cost $"), (col("doc_id") % 97).cast("string"), lit(".50!"))
-      docs(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(planted).as("n_tokens_ws"),
-        TextAnalysis.bpeTokenCount(planted).as("n_tokens_bpe"))
+      // Spread-guarded: the BPE-pattern regexp_extract_all is the CPU cost
+      graft.ops.Spread.spread(docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(planted).as("n_tokens_ws"),
+          TextAnalysis.bpeTokenCount(planted).as("n_tokens_bpe"))
     }),
 
     "q_quality_score" -> ((s, dir) =>
-      TextAnalysis.qualityScore(docs(s, dir), col("text"))),
+      TextAnalysis.qualityScore(
+        graft.ops.Spread.spread(docs(s, dir).select(col("doc_id"), col("text"))),
+        col("text"))),
 
     // Gopher-style repetitiveness signals over the word-bigram multiset
     // (integer-scaled fractions — cross-engine hash-safe)
@@ -442,8 +465,10 @@ object Queries {
         lit("."), (col("doc_id") % 900 + 100).cast("string"),
         lit("."), (col("doc_id") % 9000 + 1000).cast("string"),
         lit(" on 2024-01-"), (col("doc_id") % 28 + 1).cast("string"))
-      docs(s, dir).select(col("doc_id"),
-        TextAnalysis.redactPii(planted).as("redacted"))
+      // Spread-guarded: four chained regexp_replace passes over the text —
+      // CPU-bound on the 1-2 scan tasks a tiny input yields
+      graft.ops.Spread.spread(docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextAnalysis.redactPii(planted).as("redacted"))
     }),
 
     // corpus-frequency (unigram-LM-style) quality: top-200 vocab via
@@ -452,9 +477,14 @@ object Queries {
     "q_token_freq_quality" -> ((s, dir) =>
       TextAnalysis.tokenFrequencyScore(docs(s, dir), k = 200)),
 
+    // Spread-guarded: the stopword-scoring expression tree re-splits the
+    // text per language and would otherwise run on the 1-2 scan tasks a
+    // tiny input yields (same rationale as the typed dedup passes)
     "q_lang_id" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), col("lang"),
-        TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
+      graft.ops.Spread.spread(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdColumns(col("text")).as("predicted_lang"))),
 
     // rolling fingerprint summary — an INDEPENDENT poly-family instance
     // (seed 13): whole-text hash + min 3-gram hash + distinct-gram count

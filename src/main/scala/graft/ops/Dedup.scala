@@ -162,15 +162,34 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Typed (doc_id, shingle 64-bit hashes) — the verify-stage twin of
+    * [[shingleRows]] (guide §2.3 "shuffle keys and metadata instead of
+    * payloads"): the exact-Jaccard join only needs set intersection/union
+    * SIZES, which are preserved under an injective-in-practice 64-bit hash
+    * of each distinct shingle — 8 bytes per gram cross the verify shuffles
+    * instead of the gram text (~2.5× fewer bytes, and long comparisons
+    * instead of string). A Jaccard value could shift only on a 64-bit
+    * collision INSIDE one pair's union (≲ 10³ grams → P ≈ 10⁶/2⁶⁵ per
+    * pair); the corpus-scale expectation stays ≪ 1 pair.
+    */
+  def shingleHashRows(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, shinglesOf(text, n).map(hash64(_, 0x5EED5EED5EEDL)))
+      })
+      .toDF("doc_id", "shingles")
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     * Input must have columns (doc_id, text). Output: (a, b, jaccard) with
-    * a < b, jaccard >= threshold. Only (doc_id, band, hash) triples and the
-    * candidate ids ever shuffle — never the text.
+    * a < b, jaccard >= threshold. Only (doc_id, band, hash) triples, the
+    * candidate ids and 8-byte shingle hashes ever shuffle — never the text.
     */
   def minhashLshPairs(spark: SparkSession, docs: DataFrame, cfg: LshConfig = LshConfig()): DataFrame = {
     val banded = bandHashRows(spark, docs, cfg)
     val candidates = candidatesOf(banded, cfg)
-    verifyPairs(shingleRows(spark, docs, cfg.shingleSize), candidates, cfg)
+    verifyPairs(shingleHashRows(spark, docs, cfg.shingleSize), candidates, cfg)
   }
 
   /** All ordered pairs (x,y) x<y from an id array, as a Column expression. */

@@ -102,7 +102,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // Spread-guarded: the per-(corpus row × query) quantizedCosine HOFs are
+    // the CPU cost and would otherwise run on a tiny input's 1-2 scan tasks
+    val c = Spread.spread(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+      col("neighbor_id"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", quantizedCosine(col("q_emb"), col("c_emb")))
@@ -176,8 +180,10 @@ object Similarity {
 
     // assignment is the hottest pass (once per corpus vector): the O(k)
     // linear scan (nearestCellIdx — identical quantized comparison and
-    // cid tie-break) instead of nearestCells' per-row map + full sort
-    val assigned = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // cid tie-break) instead of nearestCells' per-row map + full sort;
+    // Spread-guarded so a tiny corpus doesn't assign on 1-2 scan tasks
+    val assigned = Spread.spread(
+      corpus.select(col("vec_id"), col("embedding")), col("vec_id")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, emb) => (cs(nearestCellIdx(cs, emb))._1, id, emb) }

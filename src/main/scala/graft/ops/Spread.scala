@@ -40,13 +40,48 @@ object Spread {
     BigInt(spark.sparkContext.defaultParallelism) * perCore
   }
 
-  /** `df` hash-repartitioned on `by` when its estimated size is small
-    * (see object doc); unchanged otherwise. Hash partitioning on a unique
-    * id is deterministic under retry (guide §2.5's rand-repartition trap
-    * does not apply) and row placement never changes results.
+  /** True when the plan is a narrow chain over source scans (projections,
+    * filters, unions, generators) — the only shape whose parallelism is set
+    * by input-split layout and whose size estimate is scan-derived. A plan
+    * containing a join/aggregate/repartition/typed-map already has an
+    * exchange (or unreliable stats) below it: its parallelism is the
+    * shuffle-partition count, so spreading again would only add a redundant
+    * text exchange — measured inside the curation chain, where the gate ops
+    * would otherwise re-spread the already doc_id-partitioned stripped
+    * corpus.
     */
-  def spread(df: DataFrame, by: Column = col("doc_id")): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes(df))
+  private def scanShaped(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case u: Union => u.children.forall(scanShaped)
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+        scanShaped(p.children.head)
+      case _ => false
+    }
+  }
+
+  /** `df` hash-repartitioned on `by` when it is a scan-shaped plan whose
+    * estimated size is small (see object doc); unchanged otherwise. Hash
+    * partitioning on a unique id is deterministic under retry (guide §2.5's
+    * rand-repartition trap does not apply) and row placement never changes
+    * results.
+    */
+  def spread(df: DataFrame, by: Column = col("doc_id")): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    if (scanShaped(plan) && plan.stats.sizeInBytes <= maxBytes(df))
       df.repartition(by)
     else df
+  }
+
+  /** The dual of [[spread]] for multi-consumer subtrees: pin ONE hash
+    * exchange above `df` when it is EXPENSIVE to re-evaluate (not
+    * scan-shaped — e.g. the extraction pipeline feeding the curation
+    * chain), so exchange reuse collapses all consumers onto a single
+    * physical evaluation. A scan-shaped input passes through unchanged:
+    * re-scanning it per consumer costs less than shuffling it, and
+    * [[spread]] owns its parallelism.
+    */
+  def shareIfComplex(df: DataFrame, by: Column = col("doc_id")): DataFrame =
+    if (scanShaped(df.queryExecution.optimizedPlan)) df else df.repartition(by)
 }

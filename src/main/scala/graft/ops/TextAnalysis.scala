@@ -119,7 +119,11 @@ object TextAnalysis {
     * composed form here recomputes it per action for oracle determinism.
     */
   def tokenFrequencyScore(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs
+    // Spread-guarded, and CRUCIALLY both consumers below (the vocab count
+    // and the per-doc aggregation) explode the same spread projection, so
+    // when it fires the tokenize+explode subtree evaluates once behind a
+    // reused exchange instead of twice
+    val toks = Spread.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -146,7 +150,7 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].flatMap { case (id, text) =>
       val toks = sqlTrim(text).split("\\s+").filter(_.nonEmpty)
       val n = toks.length
       Iterator.from(0)
@@ -198,7 +202,7 @@ object TextAnalysis {
     */
   def fingerprintColumns(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val t = sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
         val grams = graft.ops.Dedup.shinglesOfTokens(t.split("\\s+").filter(_.nonEmpty), 3)
@@ -250,7 +254,7 @@ object TextAnalysis {
 
   def polyFingerprintRows(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val t = sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
         val grams = graft.ops.Dedup.shinglesOfTokens(t.split("\\s+").filter(_.nonEmpty), 3)
@@ -312,7 +316,7 @@ object TextAnalysis {
 
   def repetitionSignals(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val (n, distinct, top) = bigramStats(lowerTokens(text))
         val topX = if (n == 0) 0L else 1000L * top / n
@@ -346,7 +350,7 @@ object TextAnalysis {
       k: Int = 3,
       w: Int = 4): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val fp = winnowDistinctSorted(text, k, w)
         var sum = 0L
