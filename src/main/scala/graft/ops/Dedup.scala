@@ -140,15 +140,33 @@ object Dedup {
     }.toDF("doc_id", "band", "band_hash")
   }
 
-  /** Candidate pairs from LSH buckets (bucket-local pairing + skew cap). */
-  def candidatesOf(banded: DataFrame, cfg: LshConfig): DataFrame =
+  /** Candidate pairs from LSH buckets (bucket-local pairing + skew cap).
+    * Pair emission is a typed flatMap over the bucket id lists — the former
+    * Column form (array_sort + nested transform + flatten) ran INTERPRETED
+    * per bucket element (HOFs don't participate in whole-stage codegen),
+    * which at the replicated-corpus scale emits millions of pair structs
+    * through lambda evaluation. Same pair set: ids sorted ascending, all
+    * i<j pairs.
+    */
+  def candidatesOf(banded: DataFrame, cfg: LshConfig): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
-      .select(explode(pairsOf(col("ids"))).as("pair"))
-      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.toArray
+        java.util.Arrays.sort(s)
+        for {
+          i <- s.indices.iterator.take(s.length - 1)
+          j <- (i + 1 until s.length).iterator
+        } yield (s(i), s(j))
+      }
+      .toDF("a", "b")
       .distinct()
+  }
 
   /** Exact-Jaccard verification: join shingle sets back by doc id. */
   def verifyPairs(withShingles: DataFrame, candidates: DataFrame, cfg: LshConfig): DataFrame = {
@@ -190,13 +208,6 @@ object Dedup {
     val banded = bandHashRows(spark, docs, cfg)
     val candidates = candidatesOf(banded, cfg)
     verifyPairs(shingleHashRows(spark, docs, cfg.shingleSize), candidates, cfg)
-  }
-
-  /** All ordered pairs (x,y) x<y from an id array, as a Column expression. */
-  private def pairsOf(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("_1"), y.as("_2")))))
   }
 
   /** 62-bit SimHash token hash from two independent polynomial codepoint
@@ -270,31 +281,35 @@ object Dedup {
     * signatures). The DuckDB oracle recomputes all-pairs hamming exactly.
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
     val sigs = simhashRows(spark, docs)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val")))
-    val candidates = banded.groupBy(col("band"), col("band_val"))
+    // Typed bucket pairing (same interpreted-HOF rationale as
+    // [[candidatesOf]]), with the hamming cut applied INSIDE the pass:
+    // hamming is a pure function of the pair, so filtering before the
+    // distinct is result-identical (sig is functionally determined by
+    // doc_id, hence distinct(a,b,hamming) ≡ the old
+    // distinct(a,b,sig_a,sig_b) + filter) while the dedup exchange sees
+    // only the ≤3-distance sliver instead of every bucket pair.
+    banded.groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-      .select(explode(memberPairs(col("members"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        val s = ms.toArray
+        java.util.Arrays.sort(s, Ordering[(Long, Long)])
+        for {
+          i <- s.indices.iterator.take(s.length - 1)
+          j <- (i + 1 until s.length).iterator
+          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if h <= 3
+        } yield (s(i)._1, s(j)._1, h)
+      }
+      .toDF("a", "b", "hamming")
       .distinct()
-    candidates
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= 3)
-      .select(col("a"), col("b"), col("hamming"))
-  }
-
-  private def memberPairs(members: Column): Column = {
-    val sorted = array_sort(members)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), y =>
-        struct(
-          x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
-          x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
   }
 
   /** Incremental (append-mode) exact dedup — the at-scale pattern for a

@@ -382,7 +382,8 @@ object Similarity {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    Spread.spread(corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         // one-element (dim -> matrix) memo per task: the cache probe is a
         // ConcurrentHashMap lookup + boxed-tuple key allocation, and at
