@@ -107,6 +107,14 @@ object BenchExtra {
           println(s"===== $name =====")
           println(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
         }
+      case "planfinal" =>
+        // execute, then print the AQE-final plan (shows ReusedShuffleQueryStage)
+        args.drop(1).foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.queryExecution.toRdd.foreach(_ => ())
+          println(s"===== $name (final) =====")
+          println(df.queryExecution.executedPlan.toString)
+        }
       case "stress" =>
         // replicate the frozen Bench's dedup-family stressor inputs so the
         // minhash/simhash at-scale shapes can be timed in isolation

@@ -112,8 +112,18 @@ object CurateMain {
     // sides share a single evaluation; a plain scan passes through
     // (re-scanning is cheaper than shuffling; the ops' own Spread guard
     // owns scan parallelism). The persisted mode needs no pin.
+    // The explicit doc_id not-null filter (construction-pure mode only) is
+    // a PLAN-SHAPE pin, not a semantic change: rows with a null doc_id can
+    // never reach the output anyway (the final keep-set semi-join on
+    // doc_id drops them), but without the explicit filter the optimizer
+    // infers isnotnull(doc_id) from the keep-set joins on SOME branches of
+    // the shared subtree and not others, the branch canonical forms stop
+    // matching, and AQE materializes the pinned exchange (and everything
+    // under it, including the extraction feed) once per variant instead of
+    // once — observed as two full extraction stages per action.
     val input =
-      if (computeStats) input0 else graft.ops.Spread.shareIfComplex(input0)
+      if (computeStats) input0
+      else graft.ops.Spread.shareIfComplex(input0.filter(col("doc_id").isNotNull))
     // every gate is a scalar (doc_id) stream; text joins once at the end.
     // Each gate frame (and the stripped corpus feeding them all) is
     // persisted so its subtree executes exactly once — serving both its
