@@ -132,10 +132,29 @@ object BenchExtra {
           "minhash_dedup_repl" -> (() => { minhash.count(); () }),
           "simhash_dedup_repl" -> (() => { simhash.count(); () }))
         val vectors = thunks.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
-        for (_ <- 1 to reps; (n, t) <- thunks) {
+        val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = for { a <- si.submissionTime; b <- si.completionTime } yield b - a
+            stages.synchronized { stages += ((si.stageId, si.numTasks, ms.getOrElse(-1L))) }
+            ()
+          }
+        }
+        for (r <- 1 to reps; (n, t) <- thunks) {
+          val profiled = r == reps
+          if (profiled) { stages.clear(); spark.sparkContext.addSparkListener(listener) }
+          spark.sparkContext.setJobDescription(s"stress: $n")
           val t0 = System.nanoTime()
           t()
           vectors(n) += (System.nanoTime() - t0) / 1e9
+          if (profiled) {
+            Thread.sleep(1500)
+            spark.sparkContext.removeSparkListener(listener)
+            System.err.println(s"[stress-stages] $n: " + stages.sortBy(_._1)
+              .map { case (id, nt, ms) => s"$id/${nt}t/${ms}ms" }.mkString(" "))
+          }
         }
         println(vectors.map { case (n, v) =>
           "\"" + n + "\":{\"min\":" + f"${v.min}%.4f" + ",\"reps\":" +

@@ -242,12 +242,7 @@ object Dedup {
     */
   def simhashRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // deliberately NOT Spread-guarded: the signature pass is cheap (one
-    // O(tokens×62) vote loop per doc), and an A/B on the bench corpus
-    // measured the added exchange + wider partial collect_list fan-in
-    // costing ~1 s while parallelizing the pass bought back less
-    // (0.99 s unspread vs 2.05 s spread)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+    Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
       it.map { case (docId, text) =>
         val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct
         val votes = new Array[Int](SimhashBits)
