@@ -98,6 +98,15 @@ object CurateMain {
     * `text` column. With `computeStats = false` the call is construction-
     * pure — no Spark jobs, no persists, all stats -1 — so the chain can be
     * registered as a lazily-built query (the driver's oracle replay).
+    *
+    * CACHE LIFETIME (computeStats = true): up to 4 intermediate frames are
+    * persisted MEMORY_AND_DISK and intentionally NOT unpersisted here —
+    * the returned frame still depends on them, so releasing them inside
+    * this method would force the caller's write to recompute every stage.
+    * The one-shot CLI main frees them with the session; a long-lived
+    * session calling run() repeatedly should unpersist after consuming the
+    * result (`spark.catalog.clearCache()` or track/unpersist explicitly)
+    * or cached blocks accumulate until eviction pressure.
     */
   def run(spark: SparkSession, docs: DataFrame, benchmark: Option[DataFrame],
       args: Args, computeStats: Boolean = true): (DataFrame, Stats) = {
