@@ -382,8 +382,10 @@ object Similarity {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Spread.spread(corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
-      .as[(Long, Array[Float])]
+    // deliberately NOT Spread-guarded: at the registered-query scale the
+    // projection loop (dim × planes flops/row) is too cheap to amortize an
+    // exchange — A/B measured 0.32 s unspread vs 0.43 s spread
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         // one-element (dim -> matrix) memo per task: the cache probe is a
         // ConcurrentHashMap lookup + boxed-tuple key allocation, and at
