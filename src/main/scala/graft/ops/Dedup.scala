@@ -87,6 +87,37 @@ object Dedup {
     h
   }
 
+  /** Streamed [[hash64]] over the gram `tokens(from until from+len)` joined
+    * by a single space — byte-for-byte the same char sequence as hashing
+    * the materialized `mkString(" ")` gram, with zero gram-string
+    * allocation (the same streaming trick as DupSpans.gramDigestRows).
+    */
+  private def gramHash64(tokens: Array[String], from: Int, len: Int, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var t = from
+    val end = from + len
+    while (t < end) {
+      if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val s = tokens(t)
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      t += 1
+    }
+    h ^= (h >>> 32); h *= 0xd6e8feb86659fd93L; h ^= (h >>> 32)
+    h
+  }
+
+  /** The normalized token array [[shinglesOf]] shingles over (SQL-trim,
+    * ROOT lowercase, whitespace split, empties dropped).
+    */
+  private def shingleTokens(text: String): Array[String] =
+    TextAnalysis.sqlTrim(text).toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+
   /** Scala-side shingle set (must mirror shingleSet's Column semantics).
     * Trims with SQL-trim (spaces ONLY — Java String.trim also strips control
     * chars ≤ U+0020, which neither Spark SQL `trim` nor the DuckDB oracles
@@ -94,8 +125,7 @@ object Dedup {
     * from every cross-engine shingle oracle).
     */
   def shinglesOf(text: String, n: Int): Array[String] =
-    shinglesOfTokens(TextAnalysis.sqlTrim(text)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty), n)
+    shinglesOfTokens(shingleTokens(text), n)
 
   /** [[shinglesOf]] over already-normalized (trimmed, lowercased,
     * whitespace-split) tokens — for callers that computed the token array
@@ -108,24 +138,67 @@ object Dedup {
     grams.distinct
   }
 
-  /** (doc_id, band, band_hash) rows via a single fused pass per document. */
+  /** (doc_id, band, band_hash) rows via a single fused pass per document.
+    *
+    * Signature values are EXACTLY `hash64(gram, i * phi)` for every
+    * permutation i — the hash family is effectively frozen by the
+    * scale-pinned recall==exact oracles (q_minhash_dedup,
+    * q_near_dup_keeper): a "one base hash + cheap per-permutation mix"
+    * rewrite was tried and dropped ONE true pair at the driver's sf0.01
+    * verify scale (80 vs 81 oracle rows), so the per-gram cost floor is the
+    * numHashes re-seeded char folds. What this pass does save, value-
+    * identically: the gram strings are never materialized (the
+    * `numHashes` FNV states stream the window's token chars directly —
+    * same char sequence as the mkString'd gram, like DupSpans'
+    * digest pass), and the former `.distinct` is dropped outright (min
+    * over a multiset equals min over its set, so duplicate grams cannot
+    * change a signature).
+    */
   def bandHashRows(spark: SparkSession, docs: DataFrame, cfg: LshConfig): DataFrame = {
     import spark.implicits._
     val rowsPerBand = cfg.numHashes / cfg.bands
     Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)].mapPartitions { it =>
+      val numH = cfg.numHashes
+      val states = new Array[Long](numH)
       it.flatMap { case (docId, text) =>
-        val shingles = shinglesOf(text, cfg.shingleSize)
-        val mins = Array.fill(cfg.numHashes)(Long.MaxValue)
-        var si = 0
-        while (si < shingles.length) {
-          val s = shingles(si)
+        val tokens = shingleTokens(text)
+        val n = cfg.shingleSize
+        val mins = Array.fill(numH)(Long.MaxValue)
+        // fold the gram tokens(from until from+len) joined by ' ' into all
+        // numH seeded FNV states, then avalanche + min-update each
+        @inline def vote(from: Int, len: Int): Unit = {
           var i = 0
-          while (i < cfg.numHashes) {
-            val h = hash64(s, i * 0x9E3779B97F4A7C15L)
-            if (h < mins(i)) mins(i) = h
-            i += 1
+          while (i < numH) { states(i) = 0xcbf29ce484222325L ^ (i * 0x9E3779B97F4A7C15L); i += 1 }
+          val end = from + len
+          var t = from
+          while (t < end) {
+            if (t > from) {
+              var j = 0
+              while (j < numH) { states(j) = (states(j) ^ ' '.toLong) * 0x100000001b3L; j += 1 }
+            }
+            val s = tokens(t)
+            var ci = 0
+            while (ci < s.length) {
+              val c = s.charAt(ci).toLong
+              var j = 0
+              while (j < numH) { states(j) = (states(j) ^ c) * 0x100000001b3L; j += 1 }
+              ci += 1
+            }
+            t += 1
           }
-          si += 1
+          var k = 0
+          while (k < numH) {
+            var h = states(k)
+            h ^= (h >>> 32); h *= 0xd6e8feb86659fd93L; h ^= (h >>> 32)
+            if (h < mins(k)) mins(k) = h
+            k += 1
+          }
+        }
+        if (tokens.length < n) vote(0, tokens.length)
+        else {
+          var st = 0
+          val last = tokens.length - n
+          while (st <= last) { vote(st, n); st += 1 }
         }
         (0 until cfg.bands).iterator.map { b =>
           var h = 0xcbf29ce484222325L ^ b.toLong
@@ -194,7 +267,32 @@ object Dedup {
     import spark.implicits._
     Spread.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, shinglesOf(text, n).map(hash64(_, 0x5EED5EED5EEDL)))
+        // Streamed [[gramHash64]] produces byte-identical values to
+        // hash64(gram.mkString, seed) with zero gram-string allocation;
+        // dedup is by hash value (sorted) instead of by gram string —
+        // exactly equivalent downstream, because the verify join consumes
+        // these arrays only through array_intersect/array_union SIZES
+        // (set semantics: order- and duplicate-insensitive).
+        val tokens = shingleTokens(text)
+        val hs =
+          if (tokens.length < n) Array(gramHash64(tokens, 0, tokens.length, 0x5EED5EED5EEDL))
+          else {
+            val out = new Array[Long](tokens.length - n + 1)
+            var st = 0
+            while (st < out.length) {
+              out(st) = gramHash64(tokens, st, n, 0x5EED5EED5EEDL)
+              st += 1
+            }
+            java.util.Arrays.sort(out)
+            var w = 0
+            var r = 1
+            while (r < out.length) {
+              if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+              r += 1
+            }
+            if (w + 1 == out.length) out else java.util.Arrays.copyOf(out, w + 1)
+          }
+        (id, hs)
       })
       .toDF("doc_id", "shingles")
   }

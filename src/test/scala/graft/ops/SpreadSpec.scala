@@ -68,6 +68,57 @@ class SpreadSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("shingleHashRows == sorted-distinct hash64 over shinglesOf (value equivalence pin)") {
+    // the streamed gram-hash path must produce exactly the hash64 values of
+    // the materialized gram strings (same char stream incl. multi-byte
+    // UTF-8, same seed), deduplicated — order-insensitive downstream (the
+    // verify join only takes array_intersect/array_union sizes)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb cc dd aa bb cc"),
+      (2L, "  Straße  Señor bb cc dd  "),
+      (3L, "aa"), // shorter than n -> single joined gram
+      (4L, ""), // empty -> single empty gram
+      (5L, "señora STRASSE aa bb cc dd ee aa bb cc dd ee")).toDF("doc_id", "text")
+    val typed = Dedup.shingleHashRows(spark, df, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    df.collect().foreach { r =>
+      val expected = Dedup.shinglesOf(r.getString(1), 3)
+        .map(Dedup.hash64(_, 0x5EED5EED5EEDL)).distinct.sorted.toSeq
+      assert(typed(r.getLong(0)) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("bandHashRows == reference min-over-seeded-gram-hashes per band (value pin)") {
+    // reference built from PUBLIC pieces: permutation i of gram g is
+    // EXACTLY hash64(g, i*phi) — the streamed multi-state fold must not
+    // change a single signature value (the recall==exact oracles pin the
+    // hash family). Duplicate grams are exercised (doc 1) — min is
+    // duplicate-insensitive, so dropping the distinct cannot change it.
+    import spark.implicits._
+    val cfg = Dedup.LshConfig()
+    val df = Seq(
+      (1L, "aa bb cc dd aa bb cc dd"),
+      (2L, "Straße Señor bb"),
+      (3L, "xx")).toDF("doc_id", "text")
+    val got = Dedup.bandHashRows(spark, df, cfg)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rowsPerBand = cfg.numHashes / cfg.bands
+    df.collect().foreach { r =>
+      val grams = Dedup.shinglesOf(r.getString(1), cfg.shingleSize)
+      val mins = (0 until cfg.numHashes).map { i =>
+        grams.map(g => Dedup.hash64(g, i * 0x9E3779B97F4A7C15L)).min
+      }
+      (0 until cfg.bands).foreach { b =>
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        (b * rowsPerBand until (b + 1) * rowsPerBand).foreach { i =>
+          h ^= mins(i); h *= 0x100000001b3L
+        }
+        assert(got((r.getLong(0), b)) == h, s"doc ${r.getLong(0)} band $b")
+      }
+    }
+  }
+
   test("gramDigestRows == unhex(md5(gram)) over gramPositionRows (value equivalence pin)") {
     // the typed MD5-over-token-bytes path must be byte-identical to the
     // Column md5 of the space-joined gram text, including multi-byte UTF-8
