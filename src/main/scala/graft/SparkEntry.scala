@@ -651,6 +651,13 @@ object Queries {
     // lines; every 5th doc gets a boilerplate banner line prepended (every
     // 10th in Title Case — same normalized form, so the whole family
     // strips); output is the full rebuilt text per doc
+    // NOTE (r7, measured): the midpointLined CASE runs on the 1-2 scan
+    // tasks here, twice (the inner-join branch's inferred isnotnull breaks
+    // exchange reuse for one of the three strip branches). Pre-spreading
+    // the raw docs fixes the stage profile (2×230 ms single-task → 2×50 ms
+    // + full-width projection) but the extra exchange's barrier latency
+    // made the frozen bench row WORSE (0.57 → 0.68 s) — reverted; at
+    // corpus scale the guard is inert either way.
     "q_line_dedup" -> ((s, dir) =>
       LineDedup.stripRepeatedLines(
         midpointLined(docs(s, dir), titleCaseTenth = true), minDf = 2)),
@@ -679,6 +686,11 @@ object Queries {
     // itself, full text strings hash-compared against the DuckDB replay
     "q_curate_replay" -> ((s, dir) => {
       val d = docs(s, dir)
+      // r7 trial, reverted: pre-spreading the raw docs under the planted
+      // projections (the q_line_dedup experiment) read noise-level on the
+      // frozen bench here (2.04 and 2.42 across two windows vs a
+      // 2.18-2.30 baseline band) — the extra exchange's stage barriers eat
+      // the single-task-projection saving at this scale.
       val corpus = Dedup.withPlantedNearDups(midpointLined(d, titleCaseTenth = false))
       CurateMain.run(s, corpus, Some(benchmarkPrefix(d, mod = 7, rem = 3)),
         CurateMain.Args(), computeStats = false)._1
