@@ -142,21 +142,77 @@ object BenchExtra {
             ()
           }
         }
+        spark.sparkContext.addSparkListener(listener)
         for (r <- 1 to reps; (n, t) <- thunks) {
-          val profiled = r == reps
-          if (profiled) { stages.clear(); spark.sparkContext.addSparkListener(listener) }
+          stages.synchronized(stages.clear())
           spark.sparkContext.setJobDescription(s"stress: $n")
           val t0 = System.nanoTime()
           t()
           vectors(n) += (System.nanoTime() - t0) / 1e9
-          if (profiled) {
-            Thread.sleep(1500)
-            spark.sparkContext.removeSparkListener(listener)
-            System.err.println(s"[stress-stages] $n: " + stages.sortBy(_._1)
+          Thread.sleep(800)
+          System.err.println(f"[stress-stages] $n rep$r (${(System.nanoTime() - t0) / 1e9}%.2fs): " +
+            stages.synchronized(stages.sortBy(_._1).toList)
               .map { case (id, nt, ms) => s"$id/${nt}t/${ms}ms" }.mkString(" "))
-          }
         }
+        spark.sparkContext.removeSparkListener(listener)
         println(vectors.map { case (n, v) =>
+          "\"" + n + "\":{\"min\":" + f"${v.min}%.4f" + ",\"reps\":" +
+            v.map(t => f"$t%.4f").mkString("[", ",", "]") + "}"
+        }.mkString("{", ",", "}"))
+        if (args.length > 2 && args(2) == "plans") {
+          System.err.println("===== minhash_dedup_repl (AQE-final) =====")
+          System.err.println(minhash.queryExecution.executedPlan.toString)
+          System.err.println("===== simhash_dedup_repl (AQE-final) =====")
+          System.err.println(simhash.queryExecution.executedPlan.toString)
+        }
+      case "lshab" =>
+        // A/B: candidatesOf as shipped vs a member-set-dedup variant that
+        // collapses identical bucket member lists (sorted) before pair
+        // emission — same pair set, ~bands× fewer rows into the pair
+        // distinct when buckets repeat across bands (exact-dup clusters).
+        import org.apache.spark.sql.functions._
+        import graft.ops.Dedup
+        val reps = args(1).toInt
+        val replicate = 20
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val repl = d.select(col("doc_id"), col("text"))
+          .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+          .select((col("doc_id") * replicate + col("rep")).as("doc_id"), col("text"))
+        val planted = Dedup.withPlantedNearDups(repl)
+        val cfg = Dedup.LshConfig()
+        val banded = Dedup.bandHashRows(spark, planted, cfg)
+        import spark.implicits._
+        def variantB = {
+          banded
+            .groupBy(col("band"), col("band_hash"))
+            .agg(collect_list(col("doc_id")).as("ids"))
+            .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
+            .select(array_sort(col("ids")).as("ids"))
+            .distinct()
+            .select(col("ids")).as[Seq[Long]]
+            .flatMap { ids =>
+              val s = ids.toArray
+              for {
+                i <- s.indices.iterator.take(s.length - 1)
+                j <- (i + 1 until s.length).iterator
+              } yield (s(i), s(j))
+            }
+            .toDF("a", "b")
+            .distinct()
+        }
+        val thunksAb = Seq(
+          "A_shipped" -> (() => { Dedup.candidatesOf(banded, cfg).count(); () }),
+          "B_setdedup" -> (() => { variantB.count(); () }))
+        val vab = thunksAb.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+        for (r <- 1 to reps; (n, t) <- thunksAb) {
+          spark.sparkContext.setJobDescription(s"lshab: $n")
+          val t0 = System.nanoTime()
+          t()
+          vab(n) += (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println("counts: A=" + Dedup.candidatesOf(banded, cfg).count() +
+          " B=" + variantB.count())
+        println(vab.map { case (n, v) =>
           "\"" + n + "\":{\"min\":" + f"${v.min}%.4f" + ",\"reps\":" +
             v.map(t => f"$t%.4f").mkString("[", ",", "]") + "}"
         }.mkString("{", ",", "}"))
